@@ -129,7 +129,8 @@ def bit_reverse(x: int, bits: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash; instances
+# are interned by make_params's lru_cache so identity == value identity.
 class NTTParams:
     """All precomputed constants for one ring Z_q[X]/(X^n + 1).
 

@@ -1,0 +1,91 @@
+"""Pallas kernel tests (interpret mode on CPU — the TPU analog of the
+reference's FPGA emulator flow, SURVEY.md §4).
+
+Bit-exactness is checked against the u32 golden model, which is itself checked
+against the u64 reference-mirror model and the independent big-int oracle in
+test_golden.py — so a pass here chains all the way to the O(n^2) evaluation
+definition of the negacyclic NTT.
+"""
+
+import numpy as np
+import pytest
+
+from agilex_ntt_tpu import golden as G
+from agilex_ntt_tpu.ops import ntt_kernel as K
+
+from conftest import params_for
+
+INTERP = dict(interpret=True)
+
+
+@pytest.mark.parametrize("n", [128, 1024, 4096])
+def test_fwd_matches_golden(n, rng):
+    pp = params_for(n)
+    x = rng.integers(0, pp.q, size=(16, n), dtype=np.uint32)
+    got = np.asarray(K.fwd_ntt(x, pp, block_rows=8, **INTERP))
+    want = G.fwd_ntt_u32(x, pp)
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("n", [128, 1024])
+def test_inv_matches_golden(n, rng):
+    pp = params_for(n)
+    y = rng.integers(0, pp.q, size=(16, n), dtype=np.uint32)
+    got = np.asarray(K.inv_ntt(y, pp, block_rows=8, **INTERP))
+    want = G.inv_ntt_u32(y, pp)
+    assert (got == want).all()
+
+
+def test_roundtrip(rng):
+    n = 1024
+    pp = params_for(n)
+    x = rng.integers(0, pp.q, size=(8, n), dtype=np.uint32)
+    y = K.fwd_ntt(x, pp, block_rows=8, **INTERP)
+    z = np.asarray(K.inv_ntt(y, pp, block_rows=8, **INTERP))
+    assert (z == x).all()
+
+
+def test_fwd_accepts_lazy_input(rng):
+    """Forward kernel tolerates inputs in [0, 4q) like the reference's lazy
+    pipeline (state invariant at ntt.cpp:331-332, 368-369)."""
+    n = 256
+    pp = params_for(n)
+    x = rng.integers(0, pp.q, size=(8, n), dtype=np.uint32)
+    shifted = (x + np.uint32(2 * pp.q)).astype(np.uint32)  # same residues
+    a = np.asarray(K.fwd_ntt(x, pp, block_rows=8, **INTERP))
+    b = np.asarray(K.fwd_ntt(shifted, pp, block_rows=8, **INTERP))
+    assert (a == b).all()
+
+
+def test_inv_accepts_lazy_input(rng):
+    n = 256
+    pp = params_for(n)
+    y = rng.integers(0, pp.q, size=(8, n), dtype=np.uint32)
+    lazy = (y + np.uint32(pp.q)).astype(np.uint32)
+    a = np.asarray(K.inv_ntt(y, pp, block_rows=8, **INTERP))
+    b = np.asarray(K.inv_ntt(lazy, pp, block_rows=8, **INTERP))
+    assert (a == b).all()
+
+
+def test_inv_custom_scale(rng):
+    """The scale override (used to fold Montgomery R out of polymul)."""
+    n = 256
+    pp = params_for(n)
+    q = pp.q
+    y = rng.integers(0, q, size=(8, n), dtype=np.uint32)
+    c = 12345 % q
+    scale = pp.n_inv * c % q
+    got = np.asarray(K.inv_ntt(y, pp, scale=scale, block_rows=8, **INTERP))
+    base = G.inv_ntt_u32(y, pp).astype(object)
+    assert (got.astype(object) == (base * c) % q).all()
+
+
+def test_block_rows_grid(rng):
+    """Multiple grid steps (the pipe-pipeline analog) give identical results."""
+    n = 256
+    pp = params_for(n)
+    x = rng.integers(0, pp.q, size=(64, n), dtype=np.uint32)
+    a = np.asarray(K.fwd_ntt(x, pp, block_rows=8, **INTERP))
+    b = np.asarray(K.fwd_ntt(x, pp, block_rows=32, **INTERP))
+    assert (a == b).all()
+    assert (a == G.fwd_ntt_u32(x, pp)).all()
