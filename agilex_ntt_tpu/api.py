@@ -1,0 +1,262 @@
+"""Public batched API: rings, ntt/intt, negacyclic polynomial multiplication.
+
+Replaces the reference's host driver + I/O kernels (components C6/C9/C10,
+``/root/reference/src/main.cpp:14-89``, ``src/kernel/ntt.cpp:508-640``): frame
+round-robin over compute units becomes jit batching over grid tiles; the SYCL
+buffer/accessor plumbing becomes JAX device arrays; the broken
+termination-signal protocol (C8, ntt.cpp:114-120 vs 597-603 — the producer
+never sends a "go" message) needs no replacement at all, because jit dispatch
+*is* the lifecycle.
+
+Typical use::
+
+    ring = Ring(4096)                      # 30-bit SEAL-Embedded-style prime
+    y  = ring.ntt(x)                       # x: (..., 4096) uint32, values < q
+    z  = ring.intt(y)
+    c  = ring.polymul(a, b)                # negacyclic convolution mod q
+
+    rns = RNSRing(4096, num_primes=3)      # CRT basis of 3 primes
+    c_rns = rns.polymul(a_rns, b_rns)      # shapes (3, ..., 4096)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import NTTConfig
+from .params import NTTParams, find_primes, make_params
+from .ops import ntt_kernel, xla_ntt
+from .ops.modmul import U32, cond_sub, mont_mul_lazy, mont_qinv_neg, u32
+from .ops.ntt_kernel import MIN_KERNEL_N
+
+
+def _default_backend() -> str:
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def _as_u32(x) -> jnp.ndarray:
+    x = jnp.asarray(x)
+    if x.dtype in (jnp.uint32, jnp.int32):
+        return x.astype(jnp.uint32)
+    return x.astype(jnp.uint32)  # truncating cast; caller guarantees < 2**32
+
+
+class Ring:
+    """The negacyclic polynomial ring R_q = Z_q[X] / (X^n + 1) on TPU.
+
+    Owns the precomputed parameters and dispatches to the Pallas kernels
+    (or the XLA fallback for n < 128 / non-TPU backends).  This is the
+    runtime analog of the reference's compile-time (FPGA_NTT_SIZE, modulus)
+    specialization (C11, ntt.cpp:20-24, main.cpp:9) — one Python object per
+    ring instead of one bitstream per size.
+    """
+
+    def __init__(
+        self,
+        n: int,
+        q: Optional[int] = None,
+        *,
+        psi: Optional[int] = None,
+        backend: Optional[str] = None,
+        block_rows: Optional[int] = None,
+        interpret: bool = False,
+    ):
+        if q is None:
+            q = find_primes(n, 1)[0]
+        self.config = NTTConfig(n=n, q=q, interpret=interpret)
+        self.params: NTTParams = make_params(n, q, psi)
+        self.n = n
+        self.q = q
+        self.block_rows = block_rows
+        self.interpret = interpret
+        if backend is None:
+            backend = _default_backend()
+        if n < MIN_KERNEL_N and backend == "pallas":
+            backend = "xla"
+        if backend not in ("pallas", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        # Montgomery constants for pointwise products (R = 2**32)
+        self.qinv_neg = mont_qinv_neg(q)
+        self.r_mod_q = (1 << 32) % q
+        self.r2_mod_q = pow(1 << 32, 2, q)
+        # scale folding R out of mont-pointwise + n^-1, used by polymul
+        self.polymul_scale = self.params.n_inv * self.r_mod_q % q
+
+    # -- shape plumbing ------------------------------------------------------
+
+    def _flatten(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, tuple, int]:
+        if x.shape[-1] != self.n:
+            raise ValueError(f"last dim must be n={self.n}, got {x.shape}")
+        lead = x.shape[:-1]
+        b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        flat = x.reshape(b, self.n)
+        pad = (-b) % 8
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0)))
+        return flat, lead, b
+
+    def _unflatten(self, y: jnp.ndarray, lead: tuple, b: int) -> jnp.ndarray:
+        return y[:b].reshape(lead + (self.n,))
+
+    # -- transforms ----------------------------------------------------------
+
+    def ntt(self, x) -> jnp.ndarray:
+        """Forward negacyclic NTT, (..., n) -> (..., n), output in [0, q)."""
+        flat, lead, b = self._flatten(_as_u32(x))
+        if self.backend == "pallas":
+            y = ntt_kernel.fwd_ntt(
+                flat,
+                self.params,
+                block_rows=self.block_rows,
+                interpret=self.interpret,
+            )
+        else:
+            y = xla_ntt.fwd_ntt_xla(flat, self.params)
+        return self._unflatten(y, lead, b)
+
+    def intt(self, x, *, scale: Optional[int] = None) -> jnp.ndarray:
+        """Inverse negacyclic NTT, (..., n) -> (..., n), output in [0, q)."""
+        flat, lead, b = self._flatten(_as_u32(x))
+        if self.backend == "pallas":
+            y = ntt_kernel.inv_ntt(
+                flat,
+                self.params,
+                scale=scale,
+                block_rows=self.block_rows,
+                interpret=self.interpret,
+            )
+        else:
+            y = xla_ntt.inv_ntt_xla(flat, self.params, scale=scale)
+        return self._unflatten(y, lead, b)
+
+    # -- ring arithmetic -----------------------------------------------------
+
+    def polymul(self, a, b) -> jnp.ndarray:
+        """Negacyclic product a*b mod (X^n + 1, q), coefficient domain in/out.
+
+        NTT both operands, Montgomery pointwise multiply (lazy, [0, 2q)),
+        inverse NTT with the stray R^{-1} folded into the n^{-1} scaling —
+        so the pointwise step costs no extra reduction pass.
+        """
+        fa = self.ntt(a)
+        fb = self.ntt(b)
+        prod = self.pointwise_mul_lazy(fa, fb)
+        return self.intt(prod, scale=self.polymul_scale)
+
+    def pointwise_mul_lazy(self, a, b) -> jnp.ndarray:
+        """Elementwise a*b*2^-32 mod q in [0, 2q) (NTT-domain Hadamard)."""
+        return mont_mul_lazy(_as_u32(a), _as_u32(b), self.q, self.qinv_neg)
+
+    def pointwise_mul(self, a, b) -> jnp.ndarray:
+        """Elementwise exact a*b mod q in [0, q) for NTT-domain operands.
+
+        Two REDC passes: mont(mont(a, b), R^2 mod q)."""
+        t = self.pointwise_mul_lazy(a, b)
+        t = mont_mul_lazy(t, u32(self.r2_mod_q), self.q, self.qinv_neg)
+        return cond_sub(t, self.q)
+
+    def add(self, a, b) -> jnp.ndarray:
+        return cond_sub(_as_u32(a) + _as_u32(b), self.q)
+
+    def sub(self, a, b) -> jnp.ndarray:
+        return cond_sub(_as_u32(a) - _as_u32(b) + U32(self.q), self.q)
+
+    def neg(self, a) -> jnp.ndarray:
+        a = _as_u32(a)
+        return jnp.where(a == U32(0), U32(0), U32(self.q) - a)
+
+    def random_coeffs(self, key, shape=()) -> jnp.ndarray:
+        """Uniform random ring elements, shape (..., n)."""
+        return jax.random.randint(
+            key, shape + (self.n,), 0, self.q, dtype=jnp.uint32
+        )
+
+    def __repr__(self):
+        return (
+            f"Ring(n={self.n}, q={self.q}, backend={self.backend!r},"
+            f" interpret={self.interpret})"
+        )
+
+
+class RNSRing:
+    """Residue-number-system ring: L independent prime channels for one n.
+
+    The multi-prime generalization the reference's single-modulus pipeline
+    (modulusPipe carries exactly one q, ntt.cpp:64, 143-144) points toward:
+    wide-coefficient arithmetic via CRT over a chain of 30-bit primes.
+    Data layout: leading axis = prime channel, shape (L, ..., n).
+    """
+
+    def __init__(
+        self,
+        n: int,
+        num_primes: int = 3,
+        qs: Optional[Sequence[int]] = None,
+        **ring_kwargs,
+    ):
+        if qs is None:
+            qs = find_primes(n, num_primes)
+        self.rings: List[Ring] = [Ring(n, q, **ring_kwargs) for q in qs]
+        self.n = n
+        self.qs = [r.q for r in self.rings]
+        self.modulus = 1
+        for q in self.qs:
+            self.modulus *= q
+
+    @property
+    def L(self) -> int:
+        return len(self.rings)
+
+    def _check(self, x: jnp.ndarray):
+        if x.shape[0] != self.L or x.shape[-1] != self.n:
+            raise ValueError(
+                f"expected shape (L={self.L}, ..., n={self.n}), got {x.shape}"
+            )
+
+    def _map(self, fn_name: str, *xs) -> jnp.ndarray:
+        for x in xs:
+            self._check(x)
+        outs = [
+            getattr(r, fn_name)(*(x[i] for x in xs))
+            for i, r in enumerate(self.rings)
+        ]
+        return jnp.stack(outs, axis=0)
+
+    def ntt(self, x) -> jnp.ndarray:
+        return self._map("ntt", jnp.asarray(x))
+
+    def intt(self, x) -> jnp.ndarray:
+        return self._map("intt", jnp.asarray(x))
+
+    def polymul(self, a, b) -> jnp.ndarray:
+        return self._map("polymul", jnp.asarray(a), jnp.asarray(b))
+
+    def add(self, a, b) -> jnp.ndarray:
+        return self._map("add", jnp.asarray(a), jnp.asarray(b))
+
+    def sub(self, a, b) -> jnp.ndarray:
+        return self._map("sub", jnp.asarray(a), jnp.asarray(b))
+
+    def to_rns(self, coeffs) -> np.ndarray:
+        """Host-side: big-int coefficients (..., n) -> residues (L, ..., n)."""
+        arr = np.asarray(coeffs, dtype=object)
+        out = np.stack(
+            [(arr % q).astype(np.uint32) for q in self.qs], axis=0
+        )
+        return out
+
+    def from_rns(self, residues) -> np.ndarray:
+        """Host-side CRT reconstruction -> big-int array (..., n), object dtype."""
+        from .utils.crt import crt_compose
+
+        return crt_compose(np.asarray(residues), self.qs)

@@ -9,12 +9,12 @@ mapping is deliberately *not* a translation:
     t < VEC (C4, ntt.cpp:207-289, 398-479).  Here the polynomial's n
     coefficients ride the 128-wide **lane** dimension and the batch rides the
     **sublane** dimension, so every stage is uniform row arithmetic; strided
-    butterfly pairing becomes two lane-rotates + selects (`jnp.roll`), the
-    TPU register-permute analog of the FPGA shuffle network.
+    butterfly pairing becomes two lane-rotates + selects (``pltpu.roll``),
+    the TPU register-permute analog of the FPGA shuffle network.
   * The banked BLOCK_RAM double-buffer with generation tags (C3,
     ntt.cpp:90-98, 321-344) exists to break RAW hazards in a hardware
     pipeline; under XLA's functional semantics each stage is a pure value
-    computation, so the hazard (and the `Xm` tag machinery) vanishes.
+    computation, so the hazard (and the ``Xm`` tag machinery) vanishes.
   * Twiddle tables stream via FIFO pipes into kernel-local RAM in the
     reference (C5, ntt.cpp:122-141); here the positional stage tables are
     pallas_call operands resident in VMEM, re-used across the whole batch
@@ -24,10 +24,8 @@ mapping is deliberately *not* a translation:
     HBM -> VMEM -> HBM automatically.
 
 Arithmetic is the Harvey lazy butterfly in uint32 words (q < 2**30, values in
-[0, 4q)): conditional -2q reduction (ntt.cpp:331-332), Shoup mulmod via 16-bit
-limb partials (ntt.cpp:346-363 scaled down one word size), X' = tx + Q and
-X_t' = tx + 2q - Q (ntt.cpp:368-369), final-stage correction to [0, q)
-(ntt.cpp:377-394).  Outputs are bit-identical to the uint64 golden model.
+[0, 4q)) — see ``stage_math.py`` (shared with the XLA fallback path) and
+``modmul.py``.  Outputs are bit-identical to the uint64 golden model.
 """
 
 from __future__ import annotations
@@ -37,91 +35,59 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import NTTParams
 from . import stage_tables as st
-from .modmul import U32, cond_sub, mulhi_u32_presplit, u32
+from .stage_math import fwd_stages, inv_stages
 
 DEFAULT_BLOCK_ROWS = 64
 
-
-def _partner(x: jnp.ndarray, mask_u: jnp.ndarray, t: int) -> jnp.ndarray:
-    """Value of each position's butterfly partner.
-
-    Positions with (j >> log2(t)) even are 'u' slots (partner at j + t),
-    odd are 'v' slots (partner at j - t).  Two circular lane-rotates cover
-    both cases; rotated-in wraparound values are never selected.
-    This replaces the reference's stride-specialized shuffle networks
-    (ntt.cpp:207-289).
-    """
-    n = x.shape[1]
-    fwd = pltpu.roll(x, shift=n - t, axis=1)  # brings x[j + t] to slot j
-    bwd = pltpu.roll(x, shift=t, axis=1)      # brings x[j - t] to slot j
-    return jnp.where(mask_u, fwd, bwd)
+# Minimum transform size for the lane-rotate kernel: the polynomial must fill
+# at least one 128-wide lane tile.  Smaller n (the reference's n=32 config,
+# ntt.h:11-23) dispatches to the XLA path in api.py.
+MIN_KERNEL_N = 128
 
 
-def _stage_masks(shape, logn: int):
-    """mask_u per stage: True where position j is the first butterfly input."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
-    return lane
+def _pallas_roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """jnp.roll semantics on top of pltpu.roll (which wants shift >= 0)."""
+    n = x.shape[axis]
+    return pltpu.roll(x, shift=shift % n, axis=axis)
+
+
+def _row_reader(ref):
+    return lambda s: ref[s : s + 1, :]
 
 
 def _fwd_kernel(x_ref, w_ref, p0_ref, p1_ref, o_ref, *, n, logn, q):
-    x = x_ref[:]
-    two_q = U32(2 * q)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
-    for s in range(logn):
-        t = n >> (s + 1)
-        t_log = logn - 1 - s
-        w = w_ref[s : s + 1, :]
-        p0 = p0_ref[s : s + 1, :]
-        p1 = p1_ref[s : s + 1, :]
-        mask_u = ((lane >> t_log) & 1) == 0
-
-        pu = _partner(x, mask_u, t)
-        tx = jnp.where(mask_u, x, pu)
-        ay = jnp.where(mask_u, pu, x)
-        tx = cond_sub(tx, two_q)
-        # Shoup: Q = W*ay - floor(ay * Wp / 2^32) * q, in [0, 2q)
-        hi = mulhi_u32_presplit(ay, p0, p1)
-        Q = w * ay - hi * U32(q)
-        out = jnp.where(mask_u, tx + Q, tx + two_q - Q)
-        if s == logn - 1:
-            out = cond_sub(cond_sub(out, two_q), U32(q))
-        x = out
-    o_ref[:] = x
+    o_ref[:] = fwd_stages(
+        x_ref[:],
+        _row_reader(w_ref),
+        _row_reader(p0_ref),
+        _row_reader(p1_ref),
+        n=n,
+        logn=logn,
+        q=q,
+        roll=_pallas_roll,
+    )
 
 
 def _inv_kernel(
     x_ref, w_ref, p0_ref, p1_ref, o_ref, *, n, logn, q, scale, scale_precon
 ):
-    x = x_ref[:]
-    two_q = U32(2 * q)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
-    for s in range(logn):
-        t = 1 << s
-        w = w_ref[s : s + 1, :]
-        p0 = p0_ref[s : s + 1, :]
-        p1 = p1_ref[s : s + 1, :]
-        mask_u = ((lane >> s) & 1) == 0
-
-        pu = _partner(x, mask_u, t)
-        # Gentleman-Sande: u' = x + y (lazy < 2q); v' = (x - y + 2q) * W
-        ssum = cond_sub(x + pu, two_q)
-        d = jnp.where(mask_u, x - pu, pu - x) + two_q
-        hi = mulhi_u32_presplit(d, p0, p1)
-        Q = w * d - hi * U32(q)
-        x = jnp.where(mask_u, ssum, Q)
-    # scale by n^-1 (or a caller-fused constant, e.g. n^-1 * 2^32 for the
-    # Montgomery-pointwise polymul path), then final reduce to [0, q)
-    sp0 = U32(scale_precon & 0xFFFF)
-    sp1 = U32(scale_precon >> 16)
-    hi = mulhi_u32_presplit(x, sp0, sp1)
-    x = U32(scale) * x - hi * U32(q)
-    o_ref[:] = cond_sub(x, U32(q))
+    o_ref[:] = inv_stages(
+        x_ref[:],
+        _row_reader(w_ref),
+        _row_reader(p0_ref),
+        _row_reader(p1_ref),
+        n=n,
+        logn=logn,
+        q=q,
+        scale=scale,
+        scale_precon=scale_precon,
+        roll=_pallas_roll,
+    )
 
 
 def _pick_block_rows(batch: int, requested: Optional[int]) -> int:
@@ -141,6 +107,7 @@ def _call(kernel, x, tables: st.StageTables, *, block_rows, interpret):
     logn = n.bit_length() - 1
     grid = (batch // block_rows,)
     tab_spec = pl.BlockSpec((logn, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    flops_per_elem = 25 * logn
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -156,6 +123,11 @@ def _call(kernel, x, tables: st.StageTables, *, block_rows, interpret):
         out_shape=jax.ShapeDtypeStruct((batch, n), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_elem * batch * n,
+            bytes_accessed=2 * 4 * batch * n + 3 * 4 * logn * n,
+            transcendentals=0,
         ),
         interpret=interpret,
     )(x, tables.w, tables.p0, tables.p1)
