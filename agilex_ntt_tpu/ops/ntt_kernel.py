@@ -60,29 +60,28 @@ def _row_reader(ref):
     return lambda s: ref[s : s + 1, :]
 
 
-def _fwd_kernel(x_ref, w_ref, p0_ref, p1_ref, o_ref, *, n, logn, q):
+def _fwd_kernel(x_ref, w_ref, p0_ref, p1_ref, o_ref, *, ts, q, final_reduce):
     o_ref[:] = fwd_stages(
         x_ref[:],
         _row_reader(w_ref),
         _row_reader(p0_ref),
         _row_reader(p1_ref),
-        n=n,
-        logn=logn,
+        ts=ts,
         q=q,
+        final_reduce=final_reduce,
         roll=_pallas_roll,
     )
 
 
 def _inv_kernel(
-    x_ref, w_ref, p0_ref, p1_ref, o_ref, *, n, logn, q, scale, scale_precon
+    x_ref, w_ref, p0_ref, p1_ref, o_ref, *, ts, q, scale, scale_precon
 ):
     o_ref[:] = inv_stages(
         x_ref[:],
         _row_reader(w_ref),
         _row_reader(p0_ref),
         _row_reader(p1_ref),
-        n=n,
-        logn=logn,
+        ts=ts,
         q=q,
         scale=scale,
         scale_precon=scale_precon,
@@ -99,38 +98,71 @@ def _pick_block_rows(batch: int, requested: Optional[int]) -> int:
     return b
 
 
-def _call(kernel, x, tables: st.StageTables, *, block_rows, interpret):
-    batch, n = x.shape
+def _call(kernel, x, w, p0, p1, *, block_rows, interpret, num_stages):
+    batch, width = x.shape
     block_rows = _pick_block_rows(batch, block_rows)
     if batch % block_rows:
         raise ValueError(f"batch {batch} not a multiple of block_rows {block_rows}")
-    logn = n.bit_length() - 1
     grid = (batch // block_rows,)
-    tab_spec = pl.BlockSpec((logn, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    flops_per_elem = 25 * logn
+    tab_spec = pl.BlockSpec(
+        (num_stages, width), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    flops_per_elem = 25 * num_stages
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             tab_spec,
             tab_spec,
             tab_spec,
         ],
         out_specs=pl.BlockSpec(
-            (block_rows, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((batch, width), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_elem * batch * n,
-            bytes_accessed=2 * 4 * batch * n + 3 * 4 * logn * n,
+            flops=flops_per_elem * batch * width,
+            bytes_accessed=2 * 4 * batch * width + 3 * 4 * num_stages * width,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, tables.w, tables.p0, tables.p1)
+    )(x, w, p0, p1)
+
+
+def fwd_stages_pallas(
+    x, w, p0, p1, *, ts, q, final_reduce, block_rows=None, interpret=False
+):
+    """Forward stages with strides `ts` as one Pallas kernel.
+
+    x: (batch, width) uint32; w/p0/p1: (len(ts), width) positional tables.
+    Used for full single-chip transforms and for the local-stage suffix of
+    the stage-sharded multi-chip transform.
+    """
+    kern = functools.partial(_fwd_kernel, ts=ts, q=q, final_reduce=final_reduce)
+    return _call(
+        kern, x, w, p0, p1,
+        block_rows=block_rows, interpret=interpret, num_stages=len(ts),
+    )
+
+
+def inv_stages_pallas(
+    x, w, p0, p1, *, ts, q, scale=None, scale_precon=None,
+    block_rows=None, interpret=False,
+):
+    """Inverse stages with strides `ts` (+ fused scaling if `scale` given)."""
+    kern = functools.partial(
+        _inv_kernel, ts=ts, q=q, scale=scale, scale_precon=scale_precon
+    )
+    return _call(
+        kern, x, w, p0, p1,
+        block_rows=block_rows, interpret=interpret, num_stages=len(ts),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("params", "block_rows", "interpret"))
@@ -147,10 +179,12 @@ def fwd_ntt(
     in the HEXL evaluation order out[k] = A(psi^(2*bitrev(k)+1)).
     """
     tabs = st.fwd_stage_tables(params)
-    kern = functools.partial(
-        _fwd_kernel, n=params.n, logn=params.log_n, q=params.q
+    ts = tuple(params.n >> (s + 1) for s in range(params.log_n))
+    return fwd_stages_pallas(
+        x, tabs.w, tabs.p0, tabs.p1,
+        ts=ts, q=params.q, final_reduce=True,
+        block_rows=block_rows, interpret=interpret,
     )
-    return _call(kern, x, tabs, block_rows=block_rows, interpret=interpret)
 
 
 @functools.partial(
@@ -174,12 +208,9 @@ def inv_ntt(
         scale = params.n_inv
     scale_precon = (scale << 32) // params.q
     tabs = st.inv_stage_tables(params)
-    kern = functools.partial(
-        _inv_kernel,
-        n=params.n,
-        logn=params.log_n,
-        q=params.q,
-        scale=scale,
-        scale_precon=scale_precon,
+    ts = tuple(1 << s for s in range(params.log_n))
+    return inv_stages_pallas(
+        x, tabs.w, tabs.p0, tabs.p1,
+        ts=ts, q=params.q, scale=scale, scale_precon=scale_precon,
+        block_rows=block_rows, interpret=interpret,
     )
-    return _call(kern, x, tabs, block_rows=block_rows, interpret=interpret)

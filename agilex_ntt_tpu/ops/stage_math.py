@@ -1,17 +1,19 @@
-"""Shared butterfly stage math, parameterized over the lane-rotate primitive.
+"""Shared butterfly stage math, parameterized over partner acquisition.
 
-Used by both the Pallas kernels (``ntt_kernel.py``, rotate = ``pltpu.roll``)
-and the pure-XLA fallback path (``xla_ntt.py``, rotate = ``jnp.roll``) so the
-two implementations cannot drift: they execute literally the same jnp ops.
+Used by three executors so their arithmetic cannot drift:
+  * the Pallas kernels (``ntt_kernel.py``) — partner via ``pltpu.roll``;
+  * the pure-XLA path (``xla_ntt.py``) — partner via ``jnp.roll``;
+  * the stage-sharded multi-chip path (``parallel/stage_shard.py``) —
+    partner shard via ``lax.ppermute`` over ICI for strides that cross the
+    shard boundary, rolls for local strides.
 
 Algorithm: positional Harvey lazy butterflies, HEXL stage order
 (``for m = 1; m < n; m <<= 1`` with t = n/2 -> 1, mirroring
-``/root/reference/src/kernel/ntt.cpp:146-501``).  Every lane position computes
-its own butterfly output: position j with (j >> log2(t)) even is a 'u' slot
-(out = tx + Q), odd is a 'v' slot (out = tx + 2q - Q); the partner value
-arrives via a circular lane rotate.  The twiddle W and its Shoup precon are
-identical at both slots of a pair, so Q is computed once per position with no
-cross-lane reduction.
+``/root/reference/src/kernel/ntt.cpp:146-501``).  Every position computes its
+own butterfly output: position j with (j >> log2(t)) even is a 'u' slot
+(out = tx + Q), odd a 'v' slot (out = tx + 2q - Q).  The twiddle W and its
+Shoup precon are identical at both slots of a pair, so Q is computed once per
+position with no cross-lane reduction.
 """
 
 from __future__ import annotations
@@ -31,7 +33,9 @@ def jnp_roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
     return jnp.roll(x, shift, axis)
 
 
-def _partner(x: jnp.ndarray, mask_u: jnp.ndarray, t: int, roll: RollFn) -> jnp.ndarray:
+def partner_via_roll(
+    x: jnp.ndarray, mask_u: jnp.ndarray, t: int, roll: RollFn
+) -> jnp.ndarray:
     """Each position's butterfly partner: x[j+t] at u slots, x[j-t] at v slots.
 
     Replaces the reference's five stride-specialized shuffle networks
@@ -43,36 +47,69 @@ def _partner(x: jnp.ndarray, mask_u: jnp.ndarray, t: int, roll: RollFn) -> jnp.n
     return jnp.where(mask_u, fwd, bwd)
 
 
+def fwd_stage_step(x, partner, mask_u, w, p0, p1, *, q: int, last: bool):
+    """One forward (Cooley-Tukey) stage given this position's partner value.
+
+    x, partner: uint32 in [0, 4q).  w/p0/p1: positional twiddle + pre-split
+    Shoup precon (identical at both slots of a pair).  Returns values in
+    [0, 4q), or [0, q) when `last` (final correction, ntt.cpp:377-394).
+    """
+    two_q = U32(2 * q)
+    tx = cond_sub(jnp.where(mask_u, x, partner), two_q)
+    ay = jnp.where(mask_u, partner, x)
+    hi = mulhi_u32_presplit(ay, p0, p1)
+    Q = w * ay - hi * U32(q)
+    out = jnp.where(mask_u, tx + Q, tx + two_q - Q)
+    if last:
+        out = cond_sub(cond_sub(out, two_q), U32(q))
+    return out
+
+
+def inv_stage_step(x, partner, mask_u, w, p0, p1, *, q: int):
+    """One inverse (Gentleman-Sande) stage. x, partner in [0, 2q); out too."""
+    two_q = U32(2 * q)
+    ssum = cond_sub(x + partner, two_q)
+    d = jnp.where(mask_u, x - partner, partner - x) + two_q
+    hi = mulhi_u32_presplit(d, p0, p1)
+    Q = w * d - hi * U32(q)
+    return jnp.where(mask_u, ssum, Q)
+
+
+def apply_scale(x, *, q: int, scale: int, scale_precon: int):
+    """Fused final scaling (n^-1, possibly with folded constants), -> [0, q)."""
+    sp0 = U32(scale_precon & 0xFFFF)
+    sp1 = U32(scale_precon >> 16)
+    hi = mulhi_u32_presplit(x, sp0, sp1)
+    x = U32(scale) * x - hi * U32(q)
+    return cond_sub(x, U32(q))
+
+
 def fwd_stages(
     x: jnp.ndarray,
     w_rows,
     p0_rows,
     p1_rows,
     *,
-    n: int,
-    logn: int,
+    ts,
     q: int,
+    final_reduce: bool,
     roll: RollFn,
 ) -> jnp.ndarray:
-    """All log2(n) forward stages. x: (rows, n) uint32 in [0, 4q).
+    """Run forward stages with butterfly strides `ts` (a full transform passes
+    ts = [n/2, n/4, ..., 1]; the stage-sharded path passes the local suffix).
 
-    w_rows/p0_rows/p1_rows: callables s -> (1, n) stage table rows.
-    Output fully reduced to [0, q) (final-stage correction, ntt.cpp:377-394).
+    x: (rows, width) uint32 in [0, 4q); w_rows/p0_rows/p1_rows: callables
+    s -> (1, width) stage table rows.  Output in [0, q) iff final_reduce.
     """
-    two_q = U32(2 * q)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
-    for s in range(logn):
-        t = n >> (s + 1)
-        t_log = logn - 1 - s
+    for s, t in enumerate(ts):
+        t_log = t.bit_length() - 1
         mask_u = ((lane >> t_log) & 1) == 0
-        pu = _partner(x, mask_u, t, roll)
-        tx = cond_sub(jnp.where(mask_u, x, pu), two_q)
-        ay = jnp.where(mask_u, pu, x)
-        hi = mulhi_u32_presplit(ay, p0_rows(s), p1_rows(s))
-        Q = w_rows(s) * ay - hi * U32(q)
-        x = jnp.where(mask_u, tx + Q, tx + two_q - Q)
-        if s == logn - 1:
-            x = cond_sub(cond_sub(x, two_q), U32(q))
+        pu = partner_via_roll(x, mask_u, t, roll)
+        x = fwd_stage_step(
+            x, pu, mask_u, w_rows(s), p0_rows(s), p1_rows(s),
+            q=q, last=(final_reduce and s == len(ts) - 1),
+        )
     return x
 
 
@@ -82,32 +119,26 @@ def inv_stages(
     p0_rows,
     p1_rows,
     *,
-    n: int,
-    logn: int,
+    ts,
     q: int,
-    scale: int,
-    scale_precon: int,
+    scale=None,
+    scale_precon=None,
     roll: RollFn,
 ) -> jnp.ndarray:
-    """All log2(n) inverse (Gentleman-Sande) stages + fused final scaling.
+    """Run inverse stages with strides `ts` (full transform: [1, 2, ..., n/2];
+    the stage-sharded path passes the local prefix), plus fused final scaling
+    when `scale` is given.
 
-    x: (rows, n) uint32 in [0, 2q); output fully reduced to [0, q).
-    `scale` replaces n^-1 when a constant is fused (e.g. the Montgomery R of
-    the pointwise product in polymul).
+    x: (rows, width) uint32 in [0, 2q); output [0, q) if scaled, else [0, 2q).
     """
-    two_q = U32(2 * q)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
-    for s in range(logn):
-        t = 1 << s
-        mask_u = ((lane >> s) & 1) == 0
-        pu = _partner(x, mask_u, t, roll)
-        ssum = cond_sub(x + pu, two_q)
-        d = jnp.where(mask_u, x - pu, pu - x) + two_q
-        hi = mulhi_u32_presplit(d, p0_rows(s), p1_rows(s))
-        Q = w_rows(s) * d - hi * U32(q)
-        x = jnp.where(mask_u, ssum, Q)
-    sp0 = U32(scale_precon & 0xFFFF)
-    sp1 = U32(scale_precon >> 16)
-    hi = mulhi_u32_presplit(x, sp0, sp1)
-    x = U32(scale) * x - hi * U32(q)
-    return cond_sub(x, U32(q))
+    for s, t in enumerate(ts):
+        t_log = t.bit_length() - 1
+        mask_u = ((lane >> t_log) & 1) == 0
+        pu = partner_via_roll(x, mask_u, t, roll)
+        x = inv_stage_step(
+            x, pu, mask_u, w_rows(s), p0_rows(s), p1_rows(s), q=q
+        )
+    if scale is not None:
+        x = apply_scale(x, q=q, scale=scale, scale_precon=scale_precon)
+    return x

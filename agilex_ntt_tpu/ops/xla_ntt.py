@@ -32,14 +32,15 @@ def _row_getter(table):
 def fwd_ntt_xla(x: jnp.ndarray, params: NTTParams) -> jnp.ndarray:
     """Forward negacyclic NTT of (batch, n) uint32 via plain XLA ops."""
     tabs = st.fwd_stage_tables(params)
+    ts = tuple(params.n >> (s + 1) for s in range(params.log_n))
     return fwd_stages(
         jnp.asarray(x, dtype=jnp.uint32),
         _row_getter(tabs.w),
         _row_getter(tabs.p0),
         _row_getter(tabs.p1),
-        n=params.n,
-        logn=params.log_n,
+        ts=ts,
         q=params.q,
+        final_reduce=True,
         roll=jnp_roll,
     )
 
@@ -53,13 +54,13 @@ def inv_ntt_xla(
         scale = params.n_inv
     scale_precon = (scale << 32) // params.q
     tabs = st.inv_stage_tables(params)
+    ts = tuple(1 << s for s in range(params.log_n))
     return inv_stages(
         jnp.asarray(x, dtype=jnp.uint32),
         _row_getter(tabs.w),
         _row_getter(tabs.p0),
         _row_getter(tabs.p1),
-        n=params.n,
-        logn=params.log_n,
+        ts=ts,
         q=params.q,
         scale=scale,
         scale_precon=scale_precon,

@@ -1,0 +1,12 @@
+"""Multi-chip / multi-host parallelism: batch (DP) and stage (coefficient)
+sharding over a jax.sharding.Mesh.
+
+The reference's only parallelism is frame round-robin over replicated FPGA
+compute units plus on-chip FIFO pipes (SURVEY.md §2 parallelism table); the
+TPU equivalents here are mesh-axis batch sharding (DP) and a stage-sharded
+large-n transform whose first/last log2(P) butterfly stages exchange shard
+halves over ICI (the SP/CP analog).
+"""
+
+from .mesh import ShardedRing, dp_shard_batch, make_mesh
+from .stage_shard import stage_sharded_fwd, stage_sharded_inv

@@ -1,0 +1,149 @@
+"""Device-mesh helpers and the sharded ring front end.
+
+Data-parallel batch sharding is the TPU equivalent of the reference's frame
+round-robin over NUM_NTT_COMPUTE_UNITS replicated kernels
+(``/root/reference/src/kernel/ntt.cpp:8-12, 526-536, 579-595``): the batch
+axis shards over mesh devices, each device runs the same Pallas grid on its
+shard, and the per-CU mini-batch-size protocol (C6) reduces to a
+PartitionSpec.  Twiddle tables are replicated — the mesh analog of the
+producer broadcasting twiddle words to every CU (ntt.cpp:552-554).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..api import Ring
+from ..ops import ntt_kernel, xla_ntt
+from ..ops import stage_tables as st
+from . import stage_shard
+
+
+def make_mesh(**axes: int) -> Mesh:
+    """Build a named mesh, e.g. make_mesh(dp=4, sp=2).
+
+    Axis types are Auto (classic sharding propagation): this library manages
+    shardings itself via shard_map, so the new explicit-sharding mode only
+    gets in the way of in-body constants.
+    """
+    names = tuple(axes.keys())
+    shape = tuple(axes.values())
+    want = int(np.prod(shape))
+    have = len(jax.devices())
+    if want > have:
+        raise ValueError(f"mesh needs {want} devices, only {have} available")
+    axis_types = (jax.sharding.AxisType.Auto,) * len(names)
+    return jax.make_mesh(shape, names, axis_types=axis_types)
+
+
+def dp_shard_batch(x: jnp.ndarray, mesh: Mesh, axis: str = "dp") -> jnp.ndarray:
+    """Place (B, ..., n) with the batch axis sharded over `axis`."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+class ShardedRing:
+    """A Ring distributed over a device mesh.
+
+    dp_axis: batch sharding (frame round-robin analog; linear scaling).
+    sp_axis: coefficient sharding for large n (stage-sharded transform with
+             log2(P) ICI exchanges — the sequence-parallel analog).
+    Either may be None.  All results are bit-identical to the single-chip
+    Ring.
+    """
+
+    def __init__(
+        self,
+        ring: Ring,
+        mesh: Mesh,
+        *,
+        dp_axis: Optional[str] = "dp",
+        sp_axis: Optional[str] = None,
+    ):
+        self.ring = ring
+        self.mesh = mesh
+        self.dp_axis = dp_axis
+        self.sp_axis = sp_axis
+        if dp_axis is None and sp_axis is None:
+            raise ValueError("need at least one mesh axis")
+        for ax in (dp_axis, sp_axis):
+            if ax is not None and ax not in mesh.axis_names:
+                raise ValueError(f"axis {ax!r} not in mesh {mesh.axis_names}")
+        self._use_pallas = ring.backend == "pallas"
+
+    # -- plumbing ------------------------------------------------------------
+
+    @property
+    def _x_spec(self) -> P:
+        return P(self.dp_axis, self.sp_axis)
+
+    def shard(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Place a (B, n) array with this ring's sharding."""
+        return jax.device_put(x, NamedSharding(self.mesh, self._x_spec))
+
+    def _dp_map(self, fn, *xs):
+        """shard_map a per-shard (B_local, n) -> (B_local, n) function over
+        the dp axis only."""
+        spec = P(self.dp_axis, None)
+        wrapped = jax.jit(
+            jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(spec,) * len(xs), out_specs=spec, check_vma=False
+            )
+        )
+        return wrapped(*xs)
+
+    # -- transforms ----------------------------------------------------------
+
+    def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        if x.ndim != 2 or x.shape[-1] != self.ring.n:
+            raise ValueError(f"expected (B, n={self.ring.n}), got {x.shape}")
+        if self.sp_axis is not None:
+            return stage_shard.stage_sharded_fwd(
+                x, self.ring.params, self.mesh,
+                axis=self.sp_axis, dp_axis=self.dp_axis,
+                use_pallas=self._use_pallas, interpret=self.ring.interpret,
+                block_rows=self.ring.block_rows,
+            )
+        if self._use_pallas:
+            fn = lambda xl: ntt_kernel.fwd_ntt(
+                xl, self.ring.params,
+                block_rows=self.ring.block_rows, interpret=self.ring.interpret,
+            )
+        else:
+            fn = lambda xl: xla_ntt.fwd_ntt_xla(xl, self.ring.params)
+        return self._dp_map(fn, x)
+
+    def intt(self, x: jnp.ndarray, *, scale: Optional[int] = None) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        if x.ndim != 2 or x.shape[-1] != self.ring.n:
+            raise ValueError(f"expected (B, n={self.ring.n}), got {x.shape}")
+        if self.sp_axis is not None:
+            return stage_shard.stage_sharded_inv(
+                x, self.ring.params, self.mesh,
+                axis=self.sp_axis, dp_axis=self.dp_axis, scale=scale,
+                use_pallas=self._use_pallas, interpret=self.ring.interpret,
+                block_rows=self.ring.block_rows,
+            )
+        if self._use_pallas:
+            fn = lambda xl: ntt_kernel.inv_ntt(
+                xl, self.ring.params, scale=scale,
+                block_rows=self.ring.block_rows, interpret=self.ring.interpret,
+            )
+        else:
+            fn = lambda xl: xla_ntt.inv_ntt_xla(xl, self.ring.params, scale=scale)
+        return self._dp_map(fn, x)
+
+    def polymul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Negacyclic product; pointwise stage is elementwise so it keeps
+        whatever sharding the transforms produce."""
+        fa = self.ntt(a)
+        fb = self.ntt(b)
+        prod = self.ring.pointwise_mul_lazy(fa, fb)
+        return self.intt(prod, scale=self.ring.polymul_scale)

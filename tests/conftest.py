@@ -5,18 +5,21 @@ reference's FPGA emulator flow (``-DFPGA_EMULATOR``, Makefile:24 /
 main.cpp:16-20): the same code paths, device-free.  Pallas kernels run in
 interpret mode on CPU; multi-chip sharding tests run on the virtual mesh.
 
+jax.config.update is used (not env vars) because this environment's
+sitecustomize imports jax at interpreter startup, before pytest loads
+conftest; the config route still works as long as no backend has been
+initialized.
+
 Set NTT_TPU_REAL_DEVICE=1 to run the suite on real hardware instead.
 """
 
 import os
 
 if not os.environ.get("NTT_TPU_REAL_DEVICE"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,110 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh (the analog of testing
+multi-CU behavior in the FPGA emulator, SURVEY.md §4).
+
+All sharded paths must be bit-identical to the single-chip golden model.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from agilex_ntt_tpu import Ring
+from agilex_ntt_tpu import golden as G
+from agilex_ntt_tpu.parallel import (
+    ShardedRing,
+    dp_shard_batch,
+    make_mesh,
+    stage_sharded_fwd,
+    stage_sharded_inv,
+)
+
+from conftest import params_for
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return jax.devices()
+
+
+def test_dp_ntt_matches_golden(devices8, rng):
+    ring = Ring(256, backend="xla")
+    mesh = make_mesh(dp=8)
+    x = rng.integers(0, ring.q, size=(32, 256), dtype=np.uint32)
+    xs = dp_shard_batch(x, mesh)
+    sr = ShardedRing(ring, mesh, dp_axis="dp")
+    got = np.asarray(sr.ntt(xs))
+    assert (got == G.fwd_ntt_u32(x, ring.params)).all()
+    back = np.asarray(sr.intt(sr.ntt(xs)))
+    assert (back == x).all()
+
+
+@pytest.mark.parametrize("num_sp", [2, 4, 8])
+def test_stage_sharded_fwd_bitexact(devices8, rng, num_sp):
+    n = 2048
+    pp = params_for(n)
+    mesh = make_mesh(sp=num_sp)
+    x = rng.integers(0, pp.q, size=(8, n), dtype=np.uint32)
+    got = np.asarray(stage_sharded_fwd(x, pp, mesh, axis="sp"))
+    assert (got == G.fwd_ntt_u32(x, pp)).all()
+
+
+@pytest.mark.parametrize("num_sp", [2, 8])
+def test_stage_sharded_inv_bitexact(devices8, rng, num_sp):
+    n = 2048
+    pp = params_for(n)
+    mesh = make_mesh(sp=num_sp)
+    y = rng.integers(0, pp.q, size=(8, n), dtype=np.uint32)
+    got = np.asarray(stage_sharded_inv(y, pp, mesh, axis="sp"))
+    assert (got == G.inv_ntt_u32(y, pp)).all()
+
+
+def test_stage_sharded_roundtrip(devices8, rng):
+    n = 1024
+    pp = params_for(n)
+    mesh = make_mesh(sp=4)
+    x = rng.integers(0, pp.q, size=(8, n), dtype=np.uint32)
+    y = stage_sharded_fwd(x, pp, mesh, axis="sp")
+    z = np.asarray(stage_sharded_inv(y, pp, mesh, axis="sp"))
+    assert (z == x).all()
+
+
+def test_dp_plus_sp_2d_mesh(devices8, rng):
+    """Combined data + stage parallelism on a (dp=2, sp=4) mesh."""
+    n = 1024
+    ring = Ring(n, backend="xla")
+    mesh = make_mesh(dp=2, sp=4)
+    sr = ShardedRing(ring, mesh, dp_axis="dp", sp_axis="sp")
+    x = rng.integers(0, ring.q, size=(16, n), dtype=np.uint32)
+    xs = sr.shard(x)
+    got = np.asarray(sr.ntt(xs))
+    assert (got == G.fwd_ntt_u32(x, ring.params)).all()
+    z = np.asarray(sr.intt(sr.ntt(xs)))
+    assert (z == x).all()
+
+
+def test_sharded_polymul(devices8, rng):
+    n = 512
+    ring = Ring(n, backend="xla")
+    mesh = make_mesh(dp=2, sp=2)
+    sr = ShardedRing(ring, mesh, dp_axis="dp", sp_axis="sp")
+    a = rng.integers(0, ring.q, size=(4, n), dtype=np.uint32)
+    b = rng.integers(0, ring.q, size=(4, n), dtype=np.uint32)
+    got = np.asarray(sr.polymul(sr.shard(a), sr.shard(b)))
+    want = np.asarray(ring.polymul(a, b))
+    assert (got == want).all()
+
+
+def test_stage_sharded_pallas_interpret(devices8, rng):
+    """Local-stage suffix as a Pallas kernel (interpret mode) inside shard_map."""
+    n = 1024
+    pp = params_for(n)
+    mesh = make_mesh(sp=2)
+    x = rng.integers(0, pp.q, size=(8, n), dtype=np.uint32)
+    got = np.asarray(
+        stage_sharded_fwd(
+            x, pp, mesh, axis="sp", use_pallas=True, interpret=True, block_rows=8
+        )
+    )
+    assert (got == G.fwd_ntt_u32(x, pp)).all()
