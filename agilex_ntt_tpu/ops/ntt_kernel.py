@@ -90,10 +90,8 @@ def _inv_kernel(
 
 
 def _pick_block_rows(batch: int, requested: Optional[int]) -> int:
-    if requested is not None:
-        return requested
-    b = DEFAULT_BLOCK_ROWS
-    while b > 8 and batch % b != 0:
+    b = min(requested or DEFAULT_BLOCK_ROWS, batch)
+    while b > 1 and batch % b != 0:
         b //= 2
     return b
 
@@ -125,6 +123,10 @@ def _call(kernel, x, w, p0, p1, *, block_rows, interpret, num_stages):
         out_shape=jax.ShapeDtypeStruct((batch, width), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # The unrolled stage chain keeps several block-sized temporaries
+            # live; the default 16 MiB scoped-vmem budget is too tight for
+            # large (block_rows x n) tiles.  v5e has 128 MiB of VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_elem * batch * width,

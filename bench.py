@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: NTTs/sec/chip, n=4096, 30-bit SEAL-Embedded-style prime.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline derivation (the reference publishes no numbers — BASELINE.md):
+the FPGA hot loop retires VEC=8 butterflies/cycle at II=1
+(/root/reference/src/kernel/ntt.cpp:14-16,155-158), i.e.
+log2(n) * n / (2*VEC) = 12 * 4096 / 16 = 3072 cycles per n=4096 frame; at the
+~400 MHz Agilex clock that is ~130,208 NTTs/s per compute unit.
+
+Timing uses a delta method (time k chained calls minus one call) because the
+first device->host sync through this environment's TPU tunnel carries a large
+constant overhead that would otherwise pollute per-call numbers; chaining
+makes each call's input depend on the previous output so nothing can be
+skipped or overlapped away.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from agilex_ntt_tpu.params import find_primes, make_params
+from agilex_ntt_tpu.ops import ntt_kernel, xla_ntt
+
+N = 4096
+# 400 MHz / (log2(4096) * 4096 / (2*VEC=16)) cycles = 130,208 frames/s per CU
+BASELINE_NTTS_PER_SEC = 400e6 / (12 * 4096 / 16)
+
+
+def main():
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    B = 8192 if on_tpu else 64
+    iters = 40 if on_tpu else 3
+
+    params = make_params(N, find_primes(N, 1)[0])
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (B, N), 0, params.q, dtype=jnp.uint32)
+
+    if on_tpu:
+        step = lambda v: ntt_kernel.fwd_ntt(v, params)
+    else:
+        step = lambda v: xla_ntt.fwd_ntt_xla(v, params)
+
+    def run(k):
+        y = x
+        for _ in range(k):
+            y = step(y)
+        # tiny readback forces full execution of the chain
+        return int(jnp.sum(y[0]) % jnp.uint32(97))
+
+    run(1)  # compile + warm
+    t0 = time.perf_counter()
+    run(1)
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(1 + iters)
+    t_many = time.perf_counter() - t0
+    per_call = max((t_many - t_one) / iters, 1e-9)
+
+    ntts_per_sec = B / per_call
+    out = {
+        "metric": f"NTTs/sec/chip (n={N}, 30-bit prime, batch={B}, fwd)",
+        "value": round(ntts_per_sec, 1),
+        "unit": "NTT/s",
+        "vs_baseline": round(ntts_per_sec / BASELINE_NTTS_PER_SEC, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
