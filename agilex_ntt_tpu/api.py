@@ -30,9 +30,15 @@ import numpy as np
 
 from .config import NTTConfig
 from .params import NTTParams, find_primes, make_params
-from .ops import ntt_kernel, xla_ntt
+from .ops import fourstep, ntt_kernel, xla_ntt
 from .ops.modmul import U32, cond_sub, mont_mul_lazy, mont_qinv_neg, u32
 from .ops.ntt_kernel import MIN_KERNEL_N
+
+# Above this size the single-pass radix-2 kernel's resident (log2 n, n) stage
+# tables outgrow VMEM, so Ring switches to the four-step decomposition
+# (ops/fourstep.py).  32768 is also the reference's hard ceiling
+# (include/kernel/ntt.h:11-23) — everything beyond it is new capability.
+MAX_RADIX2_N = 32768
 
 
 def _default_backend() -> str:
@@ -67,17 +73,37 @@ class Ring:
         *,
         psi: Optional[int] = None,
         backend: Optional[str] = None,
+        method: Optional[str] = None,
         block_rows: Optional[int] = None,
         interpret: bool = False,
     ):
         if q is None:
             q = find_primes(n, 1)[0]
         self.config = NTTConfig(n=n, q=q, interpret=interpret)
-        self.params: NTTParams = make_params(n, q, psi)
         self.n = n
         self.q = q
         self.block_rows = block_rows
         self.interpret = interpret
+        if method is None:
+            method = "fourstep" if n > MAX_RADIX2_N else "radix2"
+        if method not in ("radix2", "fourstep"):
+            raise ValueError(f"unknown method {method!r}")
+        if method == "radix2" and n > MAX_RADIX2_N:
+            raise ValueError(
+                f"radix2 supports n <= {MAX_RADIX2_N}; use method='fourstep'"
+            )
+        self.method = method
+        self._psi = psi
+        if method == "fourstep":
+            # O(sqrt n) bignum setup; the full-size NTTParams (O(n) pows) is
+            # only built if .params is actually touched (golden-model tests).
+            self.plan: Optional[fourstep.FourStepPlan] = fourstep.make_plan(
+                n, q, psi
+            )
+            self._psi = self.plan.psi
+        else:
+            self.plan = None
+            self._psi = make_params(n, q, psi).psi
         if backend is None:
             backend = _default_backend()
         if n < MIN_KERNEL_N and backend == "pallas":
@@ -89,8 +115,15 @@ class Ring:
         self.qinv_neg = mont_qinv_neg(q)
         self.r_mod_q = (1 << 32) % q
         self.r2_mod_q = pow(1 << 32, 2, q)
+        self.n_inv = pow(n, q - 2, q)
         # scale folding R out of mont-pointwise + n^-1, used by polymul
-        self.polymul_scale = self.params.n_inv * self.r_mod_q % q
+        self.polymul_scale = self.n_inv * self.r_mod_q % q
+
+    @property
+    def params(self) -> NTTParams:
+        """Full-size table bundle (lazy: O(n) bignum setup, used by the
+        radix-2 kernels, the stage-sharded path, and golden-model tests)."""
+        return make_params(self.n, self.q, self._psi)
 
     # -- shape plumbing ------------------------------------------------------
 
@@ -113,7 +146,15 @@ class Ring:
     def ntt(self, x) -> jnp.ndarray:
         """Forward negacyclic NTT, (..., n) -> (..., n), output in [0, q)."""
         flat, lead, b = self._flatten(_as_u32(x))
-        if self.backend == "pallas":
+        if self.method == "fourstep":
+            y = fourstep.fwd_ntt_fourstep(
+                flat,
+                self.plan,
+                backend=self.backend,
+                block_rows=self.block_rows,
+                interpret=self.interpret,
+            )
+        elif self.backend == "pallas":
             y = ntt_kernel.fwd_ntt(
                 flat,
                 self.params,
@@ -127,7 +168,16 @@ class Ring:
     def intt(self, x, *, scale: Optional[int] = None) -> jnp.ndarray:
         """Inverse negacyclic NTT, (..., n) -> (..., n), output in [0, q)."""
         flat, lead, b = self._flatten(_as_u32(x))
-        if self.backend == "pallas":
+        if self.method == "fourstep":
+            y = fourstep.inv_ntt_fourstep(
+                flat,
+                self.plan,
+                scale=scale,
+                backend=self.backend,
+                block_rows=self.block_rows,
+                interpret=self.interpret,
+            )
+        elif self.backend == "pallas":
             y = ntt_kernel.inv_ntt(
                 flat,
                 self.params,
@@ -184,7 +234,7 @@ class Ring:
     def __repr__(self):
         return (
             f"Ring(n={self.n}, q={self.q}, backend={self.backend!r},"
-            f" interpret={self.interpret})"
+            f" method={self.method!r}, interpret={self.interpret})"
         )
 
 

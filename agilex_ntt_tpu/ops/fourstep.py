@@ -1,0 +1,251 @@
+"""Four-step (Bailey) decomposition of the negacyclic NTT for large n.
+
+The reference caps its transform size at n = 32768 because the whole
+polynomial must fit one compute unit's BLOCK_RAM (state arrays at
+``/root/reference/src/kernel/ntt.cpp:90-101``; size menu
+``include/kernel/ntt.h:11-23``) — "one frame never spans compute units"
+(SURVEY.md §5).  The TPU analog of that wall is VMEM: the single-pass radix-2
+kernel keeps (log2 n, n) positional stage tables resident, which stops
+scaling around n = 2^18.  The four-step factorization n = n1 * n2 removes the
+wall: two passes of small transforms whose working sets are sqrt(n)-sized.
+
+Derivation (negacyclic, HEXL evaluation order).  For the size-n negacyclic
+transform X(k) = sum_j x_j psi^((2k+1) j), write j = r*n2 + c and
+k = k2*n1 + k1:
+
+    X(k) = sum_c psi^((2k1+1) c) * omega^(k2 c) * G[k1, c]
+    G[k1, c] = sum_r x[r*n2 + c] * psi1^((2k1+1) r)
+
+with psi1 = psi^n2 (a primitive 2*n1-th root => the column pass is exactly a
+size-n1 *negacyclic* NTT) and omega = psi^(2*n1) (a primitive n2-th root =>
+the row pass is a size-n2 *cyclic* NTT).  Since our kernels emit bit-reversed
+outputs, position p = bitrev_n(k) = bitrev(k1)*n2 + bitrev(k2) — the column
+pass lands rows at bitrev(k1), the row pass lands columns at bitrev(k2), and
+the composed output is **bit-identical to the single-pass kernel** with no
+reordering pass at all.  The twiddle scale T[r1, c] = psi^((2*bitrev(r1)+1) c)
+between the passes is one positional Shoup mulmod.
+
+The same three steps with the coefficient axis sharded over a mesh give the
+multi-chip transform: local column NTTs -> scale -> ICI all-to-all transpose
+-> local row NTTs (SURVEY.md §5; see ``parallel/fourstep_shard.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import (
+    CyclicParams,
+    NTTParams,
+    bit_reverse,
+    find_psi,
+    fourstep_split,
+    is_prime,
+    log2_exact,
+    make_cyclic_params,
+    make_params,
+)
+from . import ntt_kernel, xla_ntt
+from .modmul import shoup_mulmod_lazy_presplit
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash; interned by
+# make_plan's lru_cache so it can ride jit static args like NTTParams does.
+class FourStepPlan:
+    """Precomputed decomposition of one (n, q) ring into n1 x n2 passes."""
+
+    n: int
+    q: int
+    psi: int
+    n1: int
+    n2: int
+    col: NTTParams      # size-n1 negacyclic transform, psi1 = psi^n2
+    row: CyclicParams   # size-n2 cyclic transform, omega = psi^(2*n1)
+    # inter-pass twiddle scale T[r1, c] = psi^((2*bitrev(r1)+1) c), with
+    # pre-split Shoup precons (same layout as the kernels' stage tables)
+    tw: np.ndarray      # uint32 (n1, n2)
+    tp0: np.ndarray     # uint32 (n1, n2) precon low 16
+    tp1: np.ndarray     # uint32 (n1, n2) precon high 16
+    itw: np.ndarray     # inverse scale psi^(-(2*bitrev(r1)+1) c)
+    itp0: np.ndarray
+    itp1: np.ndarray
+    n_inv: int          # n^-1 mod q
+
+    @property
+    def log_n(self) -> int:
+        return log2_exact(self.n)
+
+
+def _presplit(w: np.ndarray, q: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(w, precon_lo16, precon_hi16) as uint32 — w < 2^30 so w << 32 < 2^62
+    fits uint64 exactly."""
+    p = (w.astype(np.uint64) << np.uint64(32)) // np.uint64(q)
+    p = p.astype(np.uint32)
+    return (
+        w.astype(np.uint32),
+        p & np.uint32(0xFFFF),
+        p >> np.uint32(16),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def make_plan(
+    n: int, q: int, psi: Optional[int] = None, n1: Optional[int] = None
+) -> FourStepPlan:
+    """Build the four-step plan for Z_q[X]/(X^n + 1).
+
+    Setup cost is O(n) host work but only O(sqrt(n)) Python bignum pows —
+    the big (n1, n2) scale table is generated vectorized — so plans for
+    n = 2^20 build in well under a second.
+    """
+    if q % (2 * n) != 1:
+        raise ValueError(f"q ≡ 1 (mod 2n) required: q={q} n={n}")
+    if not is_prime(q):
+        raise ValueError(f"q={q} is not prime")
+    if psi is None:
+        psi = find_psi(n, q)
+    elif pow(psi, n, q) != q - 1:
+        raise ValueError("provided psi is not a primitive 2n-th root")
+    if n1 is None:
+        n1, n2 = fourstep_split(n)
+    else:
+        n2 = n // n1
+    if n1 * n2 != n or n1 < 2 or n2 < 2:
+        raise ValueError(f"bad split {n} = {n1} * {n2}")
+
+    psi1 = pow(psi, n2, q)
+    omega = pow(psi, 2 * n1, q)
+    col = make_params(n1, q, psi1)
+    row = make_cyclic_params(n2, q, omega)
+
+    # scale table: psi^e with e = (2*bitrev(r1, log n1) + 1) * c mod 2n.
+    # psi powers 0..2n-1 as a plain-int list (2n modmuls, ~0.5 s at n=2^20),
+    # then a vectorized gather.
+    pows = [1] * (2 * n)
+    acc = 1
+    for i in range(1, 2 * n):
+        acc = acc * psi % q
+        pows[i] = acc
+    pows_np = np.array(pows, dtype=np.uint64)
+    l1 = log2_exact(n1)
+    k1 = np.array([bit_reverse(r, l1) for r in range(n1)], dtype=np.int64)
+    e = ((2 * k1[:, None] + 1) * np.arange(n2, dtype=np.int64)[None, :]) % (2 * n)
+    tw, tp0, tp1 = _presplit(pows_np[e], q)
+    itw, itp0, itp1 = _presplit(pows_np[(-e) % (2 * n)], q)
+
+    return FourStepPlan(
+        n=n, q=q, psi=psi, n1=n1, n2=n2, col=col, row=row,
+        tw=tw, tp0=tp0, tp1=tp1, itw=itw, itp0=itp0, itp1=itp1,
+        n_inv=pow(n, q - 2, q),
+    )
+
+
+def _fwd_small(x, params, *, backend, block_rows, interpret):
+    if backend == "pallas" and params.n >= ntt_kernel.MIN_KERNEL_N:
+        return ntt_kernel.fwd_ntt(
+            x, params, block_rows=block_rows, interpret=interpret
+        )
+    return xla_ntt.fwd_ntt_xla(x, params)
+
+
+def _inv_small(x, params, *, scale, backend, block_rows, interpret):
+    if backend == "pallas" and params.n >= ntt_kernel.MIN_KERNEL_N:
+        return ntt_kernel.inv_ntt(
+            x, params, scale=scale, block_rows=block_rows, interpret=interpret
+        )
+    return xla_ntt.inv_ntt_xla(x, params, scale=scale)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "backend", "block_rows", "interpret")
+)
+def fwd_ntt_fourstep(
+    x: jnp.ndarray,
+    plan: FourStepPlan,
+    *,
+    backend: str = "pallas",
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Forward negacyclic NTT of (batch, n) uint32 via two sqrt(n)-size passes.
+
+    Input in [0, 4q); output in [0, q), bit-identical to the single-pass
+    kernel (``ntt_kernel.fwd_ntt``) / the uint64 golden model.
+    """
+    b = x.shape[0]
+    n1, n2 = plan.n1, plan.n2
+    # column pass: size-n1 negacyclic NTT down each of the n2 columns
+    xc = x.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b * n2, n1)
+    yc = _fwd_small(
+        xc, plan.col, backend=backend, block_rows=block_rows, interpret=interpret
+    )
+    m1 = yc.reshape(b, n2, n1).transpose(0, 2, 1)  # (b, n1, n2), rows at br(k1)
+    # inter-pass twiddle scale (positional Shoup mulmod, lazy [0, 2q))
+    m2 = shoup_mulmod_lazy_presplit(
+        m1,
+        jnp.asarray(plan.tw)[None],
+        jnp.asarray(plan.tp0)[None],
+        jnp.asarray(plan.tp1)[None],
+        plan.q,
+    )
+    # row pass: size-n2 cyclic NTT along each row
+    rows = m2.reshape(b * n1, n2)
+    out = _fwd_small(
+        rows, plan.row, backend=backend, block_rows=block_rows, interpret=interpret
+    )
+    return out.reshape(b, plan.n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "scale", "backend", "block_rows", "interpret"),
+)
+def inv_ntt_fourstep(
+    x: jnp.ndarray,
+    plan: FourStepPlan,
+    *,
+    scale: Optional[int] = None,
+    backend: str = "pallas",
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inverse negacyclic NTT of (batch, n) uint32, mirroring the forward.
+
+    `scale` overrides the overall n^-1 multiplier (e.g. to fold a Montgomery
+    R factor, see api.polymul); it is split as row-pass n2^-1 then column-pass
+    scale * n2.  Input may be lazy in [0, 2q); output in [0, q).
+    """
+    if scale is None:
+        scale = plan.n_inv
+    col_scale = scale * plan.n2 % plan.q
+    b = x.shape[0]
+    n1, n2 = plan.n1, plan.n2
+    # row pass: inverse cyclic size-n2 (undoes the forward's last pass)
+    rows = x.reshape(b * n1, n2)
+    r = _inv_small(
+        rows, plan.row, scale=plan.row.n_inv,
+        backend=backend, block_rows=block_rows, interpret=interpret,
+    )
+    # unscale (inverse inter-pass twiddles)
+    m = r.reshape(b, n1, n2)
+    m = shoup_mulmod_lazy_presplit(
+        m,
+        jnp.asarray(plan.itw)[None],
+        jnp.asarray(plan.itp0)[None],
+        jnp.asarray(plan.itp1)[None],
+        plan.q,
+    )
+    # column pass: inverse negacyclic size-n1 with the residual scale folded
+    xc = m.transpose(0, 2, 1).reshape(b * n2, n1)
+    c = _inv_small(
+        xc, plan.col, scale=col_scale,
+        backend=backend, block_rows=block_rows, interpret=interpret,
+    )
+    out = c.reshape(b, n2, n1).transpose(0, 2, 1).reshape(b, plan.n)
+    return out

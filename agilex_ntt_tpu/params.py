@@ -207,3 +207,77 @@ def make_params(n: int, q: int, psi: Optional[int] = None) -> NTTParams:
 def default_params(n: int, num_primes: int = 1) -> List[NTTParams]:
     """SEAL-Embedded style default prime chain for size n (descending 30-bit)."""
     return [make_params(n, q) for q in find_primes(n, num_primes)]
+
+
+# ---------------------------------------------------------------------------
+# Cyclic (plain DFT) tables — the row pass of the four-step decomposition
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash (interned
+# via make_cyclic_params's lru_cache, same as NTTParams)
+class CyclicParams:
+    """Tables for a size-n *cyclic* NTT (plain DFT mod q, root omega of order n).
+
+    Same stage structure and table layout as the negacyclic transform — the
+    iterative Cooley-Tukey stage loop consumes ``roots32[m + i]`` exactly like
+    the reference kernel (``/root/reference/src/kernel/ntt.cpp:298-300``) —
+    but with cyclic twiddles ``W[m + i] = omega^(bitrev(i, log2 m) * n/(2m))``
+    (no psi^(n/(2m)) negacyclic factor), so the same butterfly kernels compute
+    ``out[bitrev(k)] = A(omega^k)``.  Used as the row pass of the four-step
+    large-N transform (SURVEY.md §5: "local column NTTs -> twiddle scale ->
+    all-to-all transpose -> local row NTTs").
+    """
+
+    n: int
+    q: int
+    omega: int
+    roots32: np.ndarray        # uint32 [n]
+    precon32: np.ndarray       # uint32 [n]  floor(W * 2^32 / q)
+    inv_roots32: np.ndarray    # uint32 [n]
+    inv_precon32: np.ndarray   # uint32 [n]
+    n_inv: int                 # n^-1 mod q
+
+    @property
+    def log_n(self) -> int:
+        return log2_exact(self.n)
+
+
+@functools.lru_cache(maxsize=64)
+def make_cyclic_params(n: int, q: int, omega: int) -> CyclicParams:
+    """Tables for the cyclic size-n NTT with primitive n-th root `omega`."""
+    if pow(omega, n, q) != 1:
+        raise ValueError("omega^n != 1")
+    if n > 1 and pow(omega, n // 2, q) == 1:
+        raise ValueError("omega is not a primitive n-th root")
+    logn = log2_exact(n)
+    roots_py = [1] * n
+    for s in range(logn):
+        m = 1 << s
+        stride = n // (2 * m)
+        for i in range(m):
+            roots_py[m + i] = pow(omega, bit_reverse(i, s) * stride, q)
+    inv_roots_py = [pow(w, q - 2, q) for w in roots_py]
+    pre32 = [(w << 32) // q for w in roots_py]
+    ipre32 = [(w << 32) // q for w in inv_roots_py]
+    return CyclicParams(
+        n=n,
+        q=q,
+        omega=omega,
+        roots32=np.array(roots_py, dtype=np.uint32),
+        precon32=np.array(pre32, dtype=np.uint32),
+        inv_roots32=np.array(inv_roots_py, dtype=np.uint32),
+        inv_precon32=np.array(ipre32, dtype=np.uint32),
+        n_inv=pow(n, q - 2, q),
+    )
+
+
+def fourstep_split(n: int) -> Tuple[int, int]:
+    """Balanced power-of-two factorization n = n1 * n2 with n1 >= n2.
+
+    n1 is the column-transform size (negacyclic), n2 the row size (cyclic);
+    both are kept >= 128 when possible so each pass fills full lane tiles.
+    """
+    logn = log2_exact(n)
+    l1 = (logn + 1) // 2
+    return 1 << l1, 1 << (logn - l1)
