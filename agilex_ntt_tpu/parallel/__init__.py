@@ -8,5 +8,6 @@ large-n transform whose first/last log2(P) butterfly stages exchange shard
 halves over ICI (the SP/CP analog).
 """
 
+from .fourstep_shard import fourstep_sharded_fwd, fourstep_sharded_inv
 from .mesh import ShardedRing, dp_shard_batch, make_mesh
 from .stage_shard import stage_sharded_fwd, stage_sharded_inv

@@ -20,9 +20,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..api import Ring
-from ..ops import ntt_kernel, xla_ntt
+from ..ops import fourstep, ntt_kernel, xla_ntt
 from ..ops import stage_tables as st
-from . import stage_shard
+from . import fourstep_shard, stage_shard
 
 
 def make_mesh(**axes: int) -> Mesh:
@@ -52,10 +52,16 @@ class ShardedRing:
     """A Ring distributed over a device mesh.
 
     dp_axis: batch sharding (frame round-robin analog; linear scaling).
-    sp_axis: coefficient sharding for large n (stage-sharded transform with
-             log2(P) ICI exchanges — the sequence-parallel analog).
-    Either may be None.  All results are bit-identical to the single-chip
-    Ring.
+    sp_axis: coefficient sharding for large n (the sequence-parallel analog).
+    sp_method: how the coefficient-sharded transform communicates —
+        "stage":    per-stage butterfly exchange, log2(P) ppermute hops
+                    (parallel/stage_shard.py);
+        "fourstep": local column/row transforms with two all-to-all
+                    retiles (parallel/fourstep_shard.py) — fewer, larger
+                    collectives; required when the ring itself is a
+                    four-step ring (n beyond the single-pass VMEM wall).
+    Either axis may be None.  All results are bit-identical to the
+    single-chip Ring.
     """
 
     def __init__(
@@ -65,6 +71,7 @@ class ShardedRing:
         *,
         dp_axis: Optional[str] = "dp",
         sp_axis: Optional[str] = None,
+        sp_method: Optional[str] = None,
     ):
         self.ring = ring
         self.mesh = mesh
@@ -75,6 +82,21 @@ class ShardedRing:
         for ax in (dp_axis, sp_axis):
             if ax is not None and ax not in mesh.axis_names:
                 raise ValueError(f"axis {ax!r} not in mesh {mesh.axis_names}")
+        if sp_method is None:
+            sp_method = "fourstep" if ring.method == "fourstep" else "stage"
+        if sp_method not in ("stage", "fourstep"):
+            raise ValueError(f"unknown sp_method {sp_method!r}")
+        if sp_method == "stage" and ring.method == "fourstep":
+            raise ValueError(
+                "stage-sharded transform needs single-pass tables; "
+                "use sp_method='fourstep' for four-step rings"
+            )
+        self.sp_method = sp_method
+        self._plan = (
+            ring.plan
+            if ring.plan is not None
+            else fourstep.make_plan(ring.n, ring.q, ring._psi)
+        ) if (sp_axis is not None and sp_method == "fourstep") else None
         self._use_pallas = ring.backend == "pallas"
 
     # -- plumbing ------------------------------------------------------------
@@ -105,6 +127,13 @@ class ShardedRing:
         if x.ndim != 2 or x.shape[-1] != self.ring.n:
             raise ValueError(f"expected (B, n={self.ring.n}), got {x.shape}")
         if self.sp_axis is not None:
+            if self.sp_method == "fourstep":
+                return fourstep_shard.fourstep_sharded_fwd(
+                    x, self._plan, self.mesh,
+                    axis=self.sp_axis, dp_axis=self.dp_axis,
+                    backend=self.ring.backend, interpret=self.ring.interpret,
+                    block_rows=self.ring.block_rows,
+                )
             return stage_shard.stage_sharded_fwd(
                 x, self.ring.params, self.mesh,
                 axis=self.sp_axis, dp_axis=self.dp_axis,
@@ -125,6 +154,13 @@ class ShardedRing:
         if x.ndim != 2 or x.shape[-1] != self.ring.n:
             raise ValueError(f"expected (B, n={self.ring.n}), got {x.shape}")
         if self.sp_axis is not None:
+            if self.sp_method == "fourstep":
+                return fourstep_shard.fourstep_sharded_inv(
+                    x, self._plan, self.mesh,
+                    axis=self.sp_axis, dp_axis=self.dp_axis, scale=scale,
+                    backend=self.ring.backend, interpret=self.ring.interpret,
+                    block_rows=self.ring.block_rows,
+                )
             return stage_shard.stage_sharded_inv(
                 x, self.ring.params, self.mesh,
                 axis=self.sp_axis, dp_axis=self.dp_axis, scale=scale,
