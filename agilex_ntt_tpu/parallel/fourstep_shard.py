@@ -109,6 +109,39 @@ def _specs(dp_axis: Optional[str], sp_axis: str):
             P(None, sp_axis)), P(dp_axis, sp_axis)
 
 
+# cached jitted shard_map wrappers (plan/Mesh are hashable; rebuilding
+# jax.jit per call would recompile every invocation)
+@functools.lru_cache(maxsize=256)
+def _fwd_fn(plan, mesh, axis, dp_axis, backend, interpret, block_rows):
+    in_specs, out_spec = _specs(dp_axis, axis)
+    body = functools.partial(
+        _fwd_body, axis=axis, plan=plan, num_devices=mesh.shape[axis],
+        backend=backend, interpret=interpret, block_rows=block_rows,
+    )
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _inv_fn(plan, mesh, axis, dp_axis, scale, backend, interpret, block_rows):
+    in_specs, out_spec = _specs(dp_axis, axis)
+    body = functools.partial(
+        _inv_body, axis=axis, plan=plan, num_devices=mesh.shape[axis],
+        scale=scale, backend=backend, interpret=interpret,
+        block_rows=block_rows,
+    )
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+            check_vma=False,
+        )
+    )
+
+
 def fourstep_sharded_fwd(
     x: jnp.ndarray,
     plan: FourStepPlan,
@@ -125,17 +158,7 @@ def fourstep_sharded_fwd(
     bit-identical to the single-chip transform."""
     num_devices = mesh.shape[axis]
     _check(plan, num_devices)
-    in_specs, out_spec = _specs(dp_axis, axis)
-    body = functools.partial(
-        _fwd_body, axis=axis, plan=plan, num_devices=num_devices,
-        backend=backend, interpret=interpret, block_rows=block_rows,
-    )
-    fn = jax.jit(
-        jax.shard_map(
-            body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
-            check_vma=False,
-        )
-    )
+    fn = _fwd_fn(plan, mesh, axis, dp_axis, backend, interpret, block_rows)
     return fn(
         x, jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1)
     )
@@ -160,18 +183,7 @@ def fourstep_sharded_inv(
     _check(plan, num_devices)
     if scale is None:
         scale = plan.n_inv
-    in_specs, out_spec = _specs(dp_axis, axis)
-    body = functools.partial(
-        _inv_body, axis=axis, plan=plan, num_devices=num_devices,
-        scale=scale, backend=backend, interpret=interpret,
-        block_rows=block_rows,
-    )
-    fn = jax.jit(
-        jax.shard_map(
-            body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
-            check_vma=False,
-        )
-    )
+    fn = _inv_fn(plan, mesh, axis, dp_axis, scale, backend, interpret, block_rows)
     return fn(
         x, jnp.asarray(plan.itw), jnp.asarray(plan.itp0),
         jnp.asarray(plan.itp1),

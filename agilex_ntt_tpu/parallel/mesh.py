@@ -98,6 +98,7 @@ class ShardedRing:
             else fourstep.make_plan(ring.n, ring.q, ring._psi)
         ) if (sp_axis is not None and sp_method == "fourstep") else None
         self._use_pallas = ring.backend == "pallas"
+        self._dp_cache = {}
 
     # -- plumbing ------------------------------------------------------------
 
@@ -109,15 +110,20 @@ class ShardedRing:
         """Place a (B, n) array with this ring's sharding."""
         return jax.device_put(x, NamedSharding(self.mesh, self._x_spec))
 
-    def _dp_map(self, fn, *xs):
+    def _dp_map(self, key, fn, *xs):
         """shard_map a per-shard (B_local, n) -> (B_local, n) function over
-        the dp axis only."""
-        spec = P(self.dp_axis, None)
-        wrapped = jax.jit(
-            jax.shard_map(
-                fn, mesh=self.mesh, in_specs=(spec,) * len(xs), out_specs=spec, check_vma=False
+        the dp axis only.  `key` memoizes the jitted wrapper — rebuilding
+        jax.jit per call would retrace and recompile every invocation."""
+        wrapped = self._dp_cache.get(key)
+        if wrapped is None:
+            spec = P(self.dp_axis, None)
+            wrapped = jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=(spec,) * len(xs),
+                    out_specs=spec, check_vma=False,
+                )
             )
-        )
+            self._dp_cache[key] = wrapped
         return wrapped(*xs)
 
     # -- transforms ----------------------------------------------------------
@@ -140,14 +146,19 @@ class ShardedRing:
                 use_pallas=self._use_pallas, interpret=self.ring.interpret,
                 block_rows=self.ring.block_rows,
             )
-        if self._use_pallas:
+        if self.ring.method == "fourstep":
+            fn = lambda xl: fourstep.fwd_ntt_fourstep(
+                xl, self.ring.plan, backend=self.ring.backend,
+                block_rows=self.ring.block_rows, interpret=self.ring.interpret,
+            )
+        elif self._use_pallas:
             fn = lambda xl: ntt_kernel.fwd_ntt(
                 xl, self.ring.params,
                 block_rows=self.ring.block_rows, interpret=self.ring.interpret,
             )
         else:
             fn = lambda xl: xla_ntt.fwd_ntt_xla(xl, self.ring.params)
-        return self._dp_map(fn, x)
+        return self._dp_map("ntt", fn, x)
 
     def intt(self, x: jnp.ndarray, *, scale: Optional[int] = None) -> jnp.ndarray:
         x = jnp.asarray(x, dtype=jnp.uint32)
@@ -167,14 +178,19 @@ class ShardedRing:
                 use_pallas=self._use_pallas, interpret=self.ring.interpret,
                 block_rows=self.ring.block_rows,
             )
-        if self._use_pallas:
+        if self.ring.method == "fourstep":
+            fn = lambda xl: fourstep.inv_ntt_fourstep(
+                xl, self.ring.plan, scale=scale, backend=self.ring.backend,
+                block_rows=self.ring.block_rows, interpret=self.ring.interpret,
+            )
+        elif self._use_pallas:
             fn = lambda xl: ntt_kernel.inv_ntt(
                 xl, self.ring.params, scale=scale,
                 block_rows=self.ring.block_rows, interpret=self.ring.interpret,
             )
         else:
             fn = lambda xl: xla_ntt.inv_ntt_xla(xl, self.ring.params, scale=scale)
-        return self._dp_map(fn, x)
+        return self._dp_map(("intt", scale), fn, x)
 
     def polymul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Negacyclic product; pointwise stage is elementwise so it keeps

@@ -136,6 +136,45 @@ def _specs(dp_axis: Optional[str], sp_axis: str):
     return (x_spec, tab_spec, tab_spec, tab_spec), x_spec
 
 
+# jitted shard_map wrappers are cached: rebuilding jax.jit(...) per call would
+# retrace and recompile every invocation (Mesh, NTTParams and all remaining
+# keys are hashable; params is interned by make_params's lru_cache).
+@functools.lru_cache(maxsize=256)
+def _fwd_fn(params, mesh, axis, dp_axis, use_pallas, interpret, block_rows):
+    in_specs, out_spec = _specs(dp_axis, axis)
+    body = functools.partial(
+        _fwd_body,
+        axis=axis, n=params.n, num_devices=mesh.shape[axis], q=params.q,
+        use_pallas=use_pallas, interpret=interpret, block_rows=block_rows,
+    )
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _inv_fn(
+    params, mesh, axis, dp_axis, scale, scale_precon, use_pallas, interpret,
+    block_rows,
+):
+    in_specs, out_spec = _specs(dp_axis, axis)
+    body = functools.partial(
+        _inv_body,
+        axis=axis, n=params.n, num_devices=mesh.shape[axis], q=params.q,
+        scale=scale, scale_precon=scale_precon,
+        use_pallas=use_pallas, interpret=interpret, block_rows=block_rows,
+    )
+    return jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+            check_vma=False,
+        )
+    )
+
+
 def stage_sharded_fwd(
     x: jnp.ndarray,
     params: NTTParams,
@@ -156,15 +195,7 @@ def stage_sharded_fwd(
             f"n={params.n} must give lane-aligned shards over {num_devices} devices"
         )
     tabs = st.fwd_stage_tables(params)
-    in_specs, out_spec = _specs(dp_axis, axis)
-    body = functools.partial(
-        _fwd_body,
-        axis=axis, n=params.n, num_devices=num_devices, q=params.q,
-        use_pallas=use_pallas, interpret=interpret, block_rows=block_rows,
-    )
-    fn = jax.jit(
-        jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_spec, check_vma=False)
-    )
+    fn = _fwd_fn(params, mesh, axis, dp_axis, use_pallas, interpret, block_rows)
     return fn(x, jnp.asarray(tabs.w), jnp.asarray(tabs.p0), jnp.asarray(tabs.p1))
 
 
@@ -191,14 +222,8 @@ def stage_sharded_inv(
         scale = params.n_inv
     scale_precon = (scale << 32) // params.q
     tabs = st.inv_stage_tables(params)
-    in_specs, out_spec = _specs(dp_axis, axis)
-    body = functools.partial(
-        _inv_body,
-        axis=axis, n=params.n, num_devices=num_devices, q=params.q,
-        scale=scale, scale_precon=scale_precon,
-        use_pallas=use_pallas, interpret=interpret, block_rows=block_rows,
-    )
-    fn = jax.jit(
-        jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_spec, check_vma=False)
+    fn = _inv_fn(
+        params, mesh, axis, dp_axis, scale, scale_precon, use_pallas,
+        interpret, block_rows,
     )
     return fn(x, jnp.asarray(tabs.w), jnp.asarray(tabs.p0), jnp.asarray(tabs.p1))
