@@ -225,6 +225,24 @@ class Ring:
         a = _as_u32(a)
         return jnp.where(a == U32(0), U32(0), U32(self.q) - a)
 
+    def check(self, x, *, bound: Optional[int] = None) -> jnp.ndarray:
+        """Debug validation: raise if any value is outside [0, bound).
+
+        bound defaults to q (fully-reduced coefficients).  The kernels accept
+        lazy inputs up to 4q (fwd) / 2q (inv) and silently wrap beyond —
+        the failure-detection aid the reference lacks entirely (its driver
+        feeds invalid twiddles without noticing, main.cpp:49-55).
+        """
+        x = _as_u32(x)
+        b = self.q if bound is None else bound
+        bad = int(jnp.sum(x >= U32(b)))
+        if bad:
+            worst = int(jnp.max(x))
+            raise ValueError(
+                f"{bad} coefficient(s) outside [0, {b}); max value {worst}"
+            )
+        return x
+
     def random_coeffs(self, key, shape=()) -> jnp.ndarray:
         """Uniform random ring elements, shape (..., n)."""
         return jax.random.randint(
@@ -262,6 +280,10 @@ class RNSRing:
         self.modulus = 1
         for q in self.qs:
             self.modulus *= q
+        # all L channels trace into ONE jitted computation per op: a Python
+        # loop of per-ring jit calls would pay L separate dispatches (and
+        # XLA couldn't overlap the channels' kernels)
+        self._jit_cache = {}
 
     @property
     def L(self) -> int:
@@ -276,11 +298,22 @@ class RNSRing:
     def _map(self, fn_name: str, *xs) -> jnp.ndarray:
         for x in xs:
             self._check(x)
-        outs = [
-            getattr(r, fn_name)(*(x[i] for x in xs))
-            for i, r in enumerate(self.rings)
-        ]
-        return jnp.stack(outs, axis=0)
+        fn = self._jit_cache.get(fn_name)
+        if fn is None:
+            rings = self.rings
+
+            def stacked(*arrs):
+                return jnp.stack(
+                    [
+                        getattr(r, fn_name)(*(a[i] for a in arrs))
+                        for i, r in enumerate(rings)
+                    ],
+                    axis=0,
+                )
+
+            fn = jax.jit(stacked)
+            self._jit_cache[fn_name] = fn
+        return fn(*xs)
 
     def ntt(self, x) -> jnp.ndarray:
         return self._map("ntt", jnp.asarray(x))

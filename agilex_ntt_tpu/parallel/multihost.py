@@ -1,0 +1,77 @@
+"""Multi-host (pod-slice) setup helpers.
+
+The reference never crosses a node — its transports are on-chip FIFO pipes
+and PCIe buffers (SURVEY.md §5 "Distributed communication backend").  On TPU
+the multi-host story is standard JAX SPMD: every host runs the same program,
+``jax.distributed.initialize`` wires the DCN control plane, and the mesh
+spans all hosts' devices.  The transforms in this package then work
+unchanged — ``shard_map`` bodies see per-device shards regardless of which
+host owns them, with XLA routing collectives over ICI within a slice and DCN
+across slices.
+
+Axis-order rule of thumb (scaling-book layout): put the coefficient/sp axis
+on the *innermost* (ICI-contiguous) mesh dimension so the per-stage
+butterfly exchanges and all-to-all retiles ride ICI; keep dp outermost so
+only data-parallel traffic (none, for independent transforms) would cross
+DCN.  ``pod_mesh`` encodes that convention.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (no-op for single-process).
+
+    On Cloud TPU pods the three arguments are auto-detected from the
+    environment; pass them explicitly only for manual bring-up.  Must run
+    before any other JAX call on every host.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def pod_mesh(dp: int = 1, sp: int = 1) -> Mesh:
+    """Global (dp, sp) mesh over every device of every host.
+
+    sp is placed on the innermost axis so coefficient-sharded exchanges
+    (stage_shard ppermutes / fourstep all-to-alls) stay on ICI neighbors;
+    dp spans the remaining (possibly cross-host) dimension.
+    """
+    devs = jax.devices()  # global across processes after init_distributed
+    if dp * sp != len(devs):
+        raise ValueError(
+            f"mesh dp*sp = {dp * sp} must equal global device count {len(devs)}"
+        )
+    arr = np.array(devs).reshape(dp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def process_local_batch(global_batch: int) -> slice:
+    """The slice of a (host-partitioned) global batch this process feeds.
+
+    For `jax.make_array_from_process_local_data`-style input pipelines:
+    each host materializes only its slice of the batch.
+    """
+    n_proc = jax.process_count()
+    if global_batch % n_proc:
+        raise ValueError(
+            f"global batch {global_batch} must divide over {n_proc} processes"
+        )
+    per = global_batch // n_proc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

@@ -53,13 +53,18 @@ def main():
         return int(jnp.sum(y[0]) % jnp.uint32(97))
 
     run(1)  # compile + warm
-    t0 = time.perf_counter()
-    run(1)
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(1 + iters)
-    t_many = time.perf_counter() - t0
-    per_call = max((t_many - t_one) / iters, 1e-9)
+    # best of 3 delta measurements: dispatch through the TPU tunnel adds
+    # one-sided noise (stalls only ever make a sample slower), so the min
+    # per-call time is the honest sustained-throughput estimate
+    per_call = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(1)
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(1 + iters)
+        t_many = time.perf_counter() - t0
+        per_call = min(per_call, max((t_many - t_one) / iters, 1e-9))
 
     ntts_per_sec = B / per_call
     out = {
