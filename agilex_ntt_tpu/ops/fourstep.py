@@ -146,6 +146,132 @@ def make_plan(
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused column-pass kernels (TPU fast path): the (n1, n2) matrix transpose
+# happens on-chip inside the kernel tile instead of as two HBM-roundtrip XLA
+# transposes, and the inter-pass twiddle scale rides along in the same pass.
+# ---------------------------------------------------------------------------
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from . import stage_tables as st  # noqa: E402
+from .ntt_kernel import _pallas_roll, _row_reader  # noqa: E402
+from .stage_math import fwd_stages, inv_stages  # noqa: E402
+
+
+def _col_fwd_kernel(x_ref, w_ref, p0_ref, p1_ref, tw_ref, tp0_ref, tp1_ref,
+                    o_ref, *, ts, q):
+    v = x_ref[0].T  # (TC, n1): columns of the tile become lane-direction rows
+    v = fwd_stages(
+        v, _row_reader(w_ref), _row_reader(p0_ref), _row_reader(p1_ref),
+        ts=ts, q=q, final_reduce=True, roll=_pallas_roll,
+    )
+    o_ref[0] = shoup_mulmod_lazy_presplit(
+        v.T, tw_ref[:], tp0_ref[:], tp1_ref[:], q
+    )
+
+
+def _col_inv_kernel(x_ref, w_ref, p0_ref, p1_ref, itw_ref, itp0_ref, itp1_ref,
+                    o_ref, *, ts, q, scale, scale_precon):
+    v = shoup_mulmod_lazy_presplit(
+        x_ref[0], itw_ref[:], itp0_ref[:], itp1_ref[:], q
+    )
+    v = inv_stages(
+        v.T, _row_reader(w_ref), _row_reader(p0_ref), _row_reader(p1_ref),
+        ts=ts, q=q, scale=scale, scale_precon=scale_precon, roll=_pallas_roll,
+    )
+    o_ref[0] = v.T
+
+
+def _col_tile(n1: int, n2: int) -> int:
+    # ~1 MiB tiles: (n1, TC) uint32
+    tc = max(128, (1 << 20) // (4 * n1))
+    while n2 % tc:
+        tc //= 2
+    return min(tc, n2)
+
+
+def _col_pass_fwd(x3, plan, *, interpret):
+    b, n1, n2 = x3.shape
+    tabs = st.fwd_stage_tables(plan.col)
+    logn1 = n1.bit_length() - 1
+    ts = tuple(n1 >> (s + 1) for s in range(logn1))
+    tc = _col_tile(n1, n2)
+    tab_spec = pl.BlockSpec(
+        (logn1, n1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    scale_spec = pl.BlockSpec(
+        (n1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec(
+        (1, n1, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(_col_fwd_kernel, ts=ts, q=plan.q)
+    return pl.pallas_call(
+        kern,
+        grid=(b, n2 // tc),
+        in_specs=[x_spec, tab_spec, tab_spec, tab_spec,
+                  scale_spec, scale_spec, scale_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x3, jnp.asarray(tabs.w), jnp.asarray(tabs.p0), jnp.asarray(tabs.p1),
+        jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1),
+    )
+
+
+def _col_pass_inv(x3, plan, *, col_scale, interpret):
+    b, n1, n2 = x3.shape
+    tabs = st.inv_stage_tables(plan.col)
+    logn1 = n1.bit_length() - 1
+    ts = tuple(1 << s for s in range(logn1))
+    scale_precon = (col_scale << 32) // plan.q
+    tc = _col_tile(n1, n2)
+    tab_spec = pl.BlockSpec(
+        (logn1, n1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    scale_spec = pl.BlockSpec(
+        (n1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec(
+        (1, n1, tc), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _col_inv_kernel, ts=ts, q=plan.q, scale=col_scale,
+        scale_precon=scale_precon,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b, n2 // tc),
+        in_specs=[x_spec, tab_spec, tab_spec, tab_spec,
+                  scale_spec, scale_spec, scale_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x3, jnp.asarray(tabs.w), jnp.asarray(tabs.p0), jnp.asarray(tabs.p1),
+        jnp.asarray(plan.itw), jnp.asarray(plan.itp0), jnp.asarray(plan.itp1),
+    )
+
+
+def _use_fused_col(plan, backend: str) -> bool:
+    return (
+        backend == "pallas"
+        and plan.n1 >= ntt_kernel.MIN_KERNEL_N
+        and plan.n2 >= ntt_kernel.MIN_KERNEL_N
+    )
+
+
 def _fwd_small(x, params, *, backend, block_rows, interpret):
     if backend == "pallas" and params.n >= ntt_kernel.MIN_KERNEL_N:
         return ntt_kernel.fwd_ntt(
@@ -180,20 +306,26 @@ def fwd_ntt_fourstep(
     """
     b = x.shape[0]
     n1, n2 = plan.n1, plan.n2
-    # column pass: size-n1 negacyclic NTT down each of the n2 columns
-    xc = x.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b * n2, n1)
-    yc = _fwd_small(
-        xc, plan.col, backend=backend, block_rows=block_rows, interpret=interpret
-    )
-    m1 = yc.reshape(b, n2, n1).transpose(0, 2, 1)  # (b, n1, n2), rows at br(k1)
-    # inter-pass twiddle scale (positional Shoup mulmod, lazy [0, 2q))
-    m2 = shoup_mulmod_lazy_presplit(
-        m1,
-        jnp.asarray(plan.tw)[None],
-        jnp.asarray(plan.tp0)[None],
-        jnp.asarray(plan.tp1)[None],
-        plan.q,
-    )
+    if _use_fused_col(plan, backend):
+        # fused column pass: on-chip tile transposes + fused twiddle scale
+        # (no HBM-roundtrip XLA transposes, no standalone scale pass)
+        m2 = _col_pass_fwd(x.reshape(b, n1, n2), plan, interpret=interpret)
+    else:
+        # column pass: size-n1 negacyclic NTT down each of the n2 columns
+        xc = x.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b * n2, n1)
+        yc = _fwd_small(
+            xc, plan.col, backend=backend, block_rows=block_rows,
+            interpret=interpret,
+        )
+        m1 = yc.reshape(b, n2, n1).transpose(0, 2, 1)  # rows land at br(k1)
+        # inter-pass twiddle scale (positional Shoup mulmod, lazy [0, 2q))
+        m2 = shoup_mulmod_lazy_presplit(
+            m1,
+            jnp.asarray(plan.tw)[None],
+            jnp.asarray(plan.tp0)[None],
+            jnp.asarray(plan.tp1)[None],
+            plan.q,
+        )
     # row pass: size-n2 cyclic NTT along each row
     rows = m2.reshape(b * n1, n2)
     out = _fwd_small(
@@ -232,6 +364,13 @@ def inv_ntt_fourstep(
         rows, plan.row, scale=plan.row.n_inv,
         backend=backend, block_rows=block_rows, interpret=interpret,
     )
+    if _use_fused_col(plan, backend):
+        # fused: unscale + on-chip transposes + inverse column transform
+        out = _col_pass_inv(
+            r.reshape(b, n1, n2), plan, col_scale=col_scale,
+            interpret=interpret,
+        )
+        return out.reshape(b, plan.n)
     # unscale (inverse inter-pass twiddles)
     m = r.reshape(b, n1, n2)
     m = shoup_mulmod_lazy_presplit(

