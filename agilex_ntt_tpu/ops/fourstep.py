@@ -272,6 +272,130 @@ def _use_fused_col(plan, backend: str) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# Fully fused transform: when the whole (n1, n2) matrix fits VMEM (n up to
+# ~2^21), both passes + the scale run in ONE kernel — a single HBM read and
+# write per polynomial, the TPU analog of the reference keeping the whole
+# frame resident in BLOCK_RAM (ntt.cpp:90-101) across all stages.
+# ---------------------------------------------------------------------------
+
+# Matrix-size cap for the fully fused kernel, measured on v5e: at 1 MiB
+# (n=2^18) one-kernel wins (31.6 vs 29.5 K NTT/s), at 2 MiB it ties, at
+# 4 MiB (n=2^20) the stage temporaries + double-buffered 4 MiB tiles crowd
+# VMEM and the two-kernel path wins (9.0 vs 6.6 K NTT/s).
+_FULL_FUSE_BYTES = 2 << 20
+
+
+def _use_full_fuse(plan, backend: str) -> bool:
+    return (
+        _use_fused_col(plan, backend)
+        and 4 * plan.n1 * plan.n2 <= _FULL_FUSE_BYTES
+    )
+
+
+def _full_fwd_kernel(x_ref, cw, cp0, cp1, rw, rp0, rp1, tw, tp0, tp1, o_ref,
+                     *, ts1, ts2, q):
+    vt = x_ref[0].T  # (n2, n1): column transform in lane direction
+    vt = fwd_stages(
+        vt, _row_reader(cw), _row_reader(cp0), _row_reader(cp1),
+        ts=ts1, q=q, final_reduce=True, roll=_pallas_roll,
+    )
+    v = shoup_mulmod_lazy_presplit(vt.T, tw[:], tp0[:], tp1[:], q)
+    v = fwd_stages(
+        v, _row_reader(rw), _row_reader(rp0), _row_reader(rp1),
+        ts=ts2, q=q, final_reduce=True, roll=_pallas_roll,
+    )
+    o_ref[0] = v
+
+
+def _full_inv_kernel(x_ref, cw, cp0, cp1, rw, rp0, rp1, itw, itp0, itp1,
+                     o_ref, *, ts1, ts2, q, row_scale, row_precon, col_scale,
+                     col_precon):
+    v = inv_stages(
+        x_ref[0], _row_reader(rw), _row_reader(rp0), _row_reader(rp1),
+        ts=ts2, q=q, scale=row_scale, scale_precon=row_precon,
+        roll=_pallas_roll,
+    )
+    v = shoup_mulmod_lazy_presplit(v, itw[:], itp0[:], itp1[:], q)
+    vt = inv_stages(
+        v.T, _row_reader(cw), _row_reader(cp0), _row_reader(cp1),
+        ts=ts1, q=q, scale=col_scale, scale_precon=col_precon,
+        roll=_pallas_roll,
+    )
+    o_ref[0] = vt.T
+
+
+def _full_specs(plan):
+    n1, n2 = plan.n1, plan.n2
+    ln1, ln2 = n1.bit_length() - 1, n2.bit_length() - 1
+    x_spec = pl.BlockSpec(
+        (1, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    ctab = pl.BlockSpec((ln1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    rtab = pl.BlockSpec((ln2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stab = pl.BlockSpec((n1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return x_spec, ctab, rtab, stab
+
+
+def _full_pass_fwd(x3, plan, *, interpret):
+    b, n1, n2 = x3.shape
+    ctabs = st.fwd_stage_tables(plan.col)
+    rtabs = st.fwd_stage_tables(plan.row)
+    ts1 = tuple(n1 >> (s + 1) for s in range(n1.bit_length() - 1))
+    ts2 = tuple(n2 >> (s + 1) for s in range(n2.bit_length() - 1))
+    x_spec, ctab, rtab, stab = _full_specs(plan)
+    kern = functools.partial(_full_fwd_kernel, ts1=ts1, ts2=ts2, q=plan.q)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[x_spec, ctab, ctab, ctab, rtab, rtab, rtab,
+                  stab, stab, stab],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x3, jnp.asarray(ctabs.w), jnp.asarray(ctabs.p0), jnp.asarray(ctabs.p1),
+        jnp.asarray(rtabs.w), jnp.asarray(rtabs.p0), jnp.asarray(rtabs.p1),
+        jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1),
+    )
+
+
+def _full_pass_inv(x3, plan, *, col_scale, interpret):
+    b, n1, n2 = x3.shape
+    ctabs = st.inv_stage_tables(plan.col)
+    rtabs = st.inv_stage_tables(plan.row)
+    ts1 = tuple(1 << s for s in range(n1.bit_length() - 1))
+    ts2 = tuple(1 << s for s in range(n2.bit_length() - 1))
+    row_scale = plan.row.n_inv
+    x_spec, ctab, rtab, stab = _full_specs(plan)
+    kern = functools.partial(
+        _full_inv_kernel, ts1=ts1, ts2=ts2, q=plan.q,
+        row_scale=row_scale, row_precon=(row_scale << 32) // plan.q,
+        col_scale=col_scale, col_precon=(col_scale << 32) // plan.q,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[x_spec, ctab, ctab, ctab, rtab, rtab, rtab,
+                  stab, stab, stab],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x3, jnp.asarray(ctabs.w), jnp.asarray(ctabs.p0), jnp.asarray(ctabs.p1),
+        jnp.asarray(rtabs.w), jnp.asarray(rtabs.p0), jnp.asarray(rtabs.p1),
+        jnp.asarray(plan.itw), jnp.asarray(plan.itp0), jnp.asarray(plan.itp1),
+    )
+
+
 def _fwd_small(x, params, *, backend, block_rows, interpret):
     if backend == "pallas" and params.n >= ntt_kernel.MIN_KERNEL_N:
         return ntt_kernel.fwd_ntt(
@@ -306,6 +430,9 @@ def fwd_ntt_fourstep(
     """
     b = x.shape[0]
     n1, n2 = plan.n1, plan.n2
+    if _use_full_fuse(plan, backend):
+        out = _full_pass_fwd(x.reshape(b, n1, n2), plan, interpret=interpret)
+        return out.reshape(b, plan.n)
     if _use_fused_col(plan, backend):
         # fused column pass: on-chip tile transposes + fused twiddle scale
         # (no HBM-roundtrip XLA transposes, no standalone scale pass)
@@ -358,6 +485,12 @@ def inv_ntt_fourstep(
     col_scale = scale * plan.n2 % plan.q
     b = x.shape[0]
     n1, n2 = plan.n1, plan.n2
+    if _use_full_fuse(plan, backend):
+        out = _full_pass_inv(
+            x.reshape(b, n1, n2), plan, col_scale=col_scale,
+            interpret=interpret,
+        )
+        return out.reshape(b, plan.n)
     # row pass: inverse cyclic size-n2 (undoes the forward's last pass)
     rows = x.reshape(b * n1, n2)
     r = _inv_small(
