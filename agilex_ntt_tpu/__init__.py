@@ -5,7 +5,7 @@ Built from scratch in JAX/Pallas with the capabilities of joekurina/Agilex-NTT
 at the repository root for the component-by-component mapping.
 """
 
-from .api import Ring, RNSRing
+from .api import CyclicRing, Ring, RNSRing
 from .config import NTTConfig, REFERENCE_SIZES
 from .params import NTTParams, find_primes, find_psi, make_params
 
@@ -14,6 +14,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Ring",
     "RNSRing",
+    "CyclicRing",
     "NTTConfig",
     "NTTParams",
     "REFERENCE_SIZES",

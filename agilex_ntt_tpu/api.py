@@ -29,7 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import NTTConfig
-from .params import NTTParams, find_primes, make_params
+from .params import (
+    CyclicParams,
+    NTTParams,
+    bit_reverse,
+    find_primes,
+    make_cyclic_params,
+    make_params,
+    primitive_root,
+)
 from .ops import fourstep, ntt_kernel, xla_ntt
 from .ops.modmul import U32, cond_sub, mont_mul_lazy, mont_qinv_neg, u32
 from .ops.ntt_kernel import MIN_KERNEL_N
@@ -225,6 +233,57 @@ class Ring:
         a = _as_u32(a)
         return jnp.where(a == U32(0), U32(0), U32(self.q) - a)
 
+    # -- Galois automorphisms -------------------------------------------------
+
+    @functools.lru_cache(maxsize=128)
+    def _auto_tables(self, k: int):
+        """Gather indices/signs for tau_k: a(X) -> a(X^k) mod (X^n + 1).
+
+        Coefficient domain: X^j -> X^(jk mod 2n) with X^n = -1, so output
+        position p takes source j = p * k^-1 mod 2n (sign +) or
+        (p + n) * k^-1 (sign -), whichever lands in [0, n).
+        NTT domain: evaluation points permute — slot p holds A(psi^(2br(p)+1)),
+        so tau_k moves slot p' to p with 2br(p')+1 = (2br(p)+1)*k mod 2n.
+        """
+        n, logn = self.n, self.n.bit_length() - 1
+        kinv = pow(k, -1, 2 * n)
+        src = np.empty(n, dtype=np.int32)
+        neg = np.empty(n, dtype=bool)
+        for p in range(n):
+            j = p * kinv % (2 * n)
+            if j < n:
+                src[p], neg[p] = j, False
+            else:
+                src[p], neg[p] = j - n, True
+        ntt_src = np.empty(n, dtype=np.int32)
+        for p in range(n):
+            e = (2 * bit_reverse(p, logn) + 1) * k % (2 * n)
+            ntt_src[p] = bit_reverse((e - 1) // 2, logn)
+        return jnp.asarray(src), jnp.asarray(neg), jnp.asarray(ntt_src)
+
+    def automorphism(self, x, k: int, *, domain: str = "coeff") -> jnp.ndarray:
+        """Galois automorphism tau_k: a(X) -> a(X^k) mod (X^n + 1), k odd.
+
+        domain="coeff": x holds coefficients in [0, q).
+        domain="ntt":   x holds NTT-domain evaluations (any values) — the
+        automorphism is then a pure slot permutation, the cheap form FHE
+        rotation keys rely on.  Beyond-reference capability (SURVEY.md §2:
+        the reference has no ring-operation layer at all).
+        """
+        if k % 2 == 0:
+            raise ValueError(f"k must be odd (unit mod 2n), got {k}")
+        k %= 2 * self.n
+        x = _as_u32(x)
+        if x.shape[-1] != self.n:
+            raise ValueError(f"last dim must be n={self.n}, got {x.shape}")
+        src, neg, ntt_src = self._auto_tables(k)
+        if domain == "ntt":
+            return jnp.take(x, ntt_src, axis=-1)
+        if domain != "coeff":
+            raise ValueError(f"unknown domain {domain!r}")
+        g = jnp.take(x, src, axis=-1)
+        return jnp.where(neg, jnp.where(g == U32(0), U32(0), U32(self.q) - g), g)
+
     def check(self, x, *, bound: Optional[int] = None) -> jnp.ndarray:
         """Debug validation: raise if any value is outside [0, bound).
 
@@ -254,6 +313,87 @@ class Ring:
             f"Ring(n={self.n}, q={self.q}, backend={self.backend!r},"
             f" method={self.method!r}, interpret={self.interpret})"
         )
+
+
+class CyclicRing:
+    """The cyclic ring Z_q[X] / (X^n - 1): plain cyclic convolution.
+
+    Runs the same butterfly kernels as Ring with cyclic twiddle tables
+    (params.make_cyclic_params) — the machinery the four-step row pass uses,
+    exposed as a first-class ring.  The reference is negacyclic-only; cyclic
+    convolution (signal-processing style) is beyond-reference capability.
+    Requires q ≡ 1 (mod n).
+    """
+
+    def __init__(
+        self,
+        n: int,
+        q: Optional[int] = None,
+        *,
+        omega: Optional[int] = None,
+        backend: Optional[str] = None,
+        block_rows: Optional[int] = None,
+        interpret: bool = False,
+    ):
+        if n > MAX_RADIX2_N:
+            raise ValueError(
+                f"CyclicRing supports n <= {MAX_RADIX2_N} (single-pass kernel)"
+            )
+        if q is None:
+            q = find_primes(n, 1)[0]
+        if q % n != 1:
+            raise ValueError(f"q ≡ 1 (mod n) required: q={q} n={n}")
+        if omega is None:
+            g = primitive_root(q)
+            omega = pow(g, (q - 1) // n, q)
+        self.params: CyclicParams = make_cyclic_params(n, q, omega)
+        self.n, self.q, self.omega = n, q, omega
+        self.block_rows = block_rows
+        self.interpret = interpret
+        if backend is None:
+            backend = _default_backend()
+        if n < MIN_KERNEL_N and backend == "pallas":
+            backend = "xla"
+        self.backend = backend
+        self.qinv_neg = mont_qinv_neg(q)
+        self.r_mod_q = (1 << 32) % q
+        self.n_inv = pow(n, q - 2, q)
+        self.polymul_scale = self.n_inv * self.r_mod_q % q
+        self._flatten = Ring._flatten.__get__(self)
+        self._unflatten = Ring._unflatten.__get__(self)
+
+    def ntt(self, x) -> jnp.ndarray:
+        """Cyclic NTT: out[bitrev(k)] = A(omega^k), output in [0, q)."""
+        flat, lead, b = self._flatten(_as_u32(x))
+        if self.backend == "pallas":
+            y = ntt_kernel.fwd_ntt(
+                flat, self.params,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        else:
+            y = xla_ntt.fwd_ntt_xla(flat, self.params)
+        return self._unflatten(y, lead, b)
+
+    def intt(self, x, *, scale: Optional[int] = None) -> jnp.ndarray:
+        flat, lead, b = self._flatten(_as_u32(x))
+        if self.backend == "pallas":
+            y = ntt_kernel.inv_ntt(
+                flat, self.params, scale=scale,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        else:
+            y = xla_ntt.inv_ntt_xla(flat, self.params, scale=scale)
+        return self._unflatten(y, lead, b)
+
+    def polymul(self, a, b) -> jnp.ndarray:
+        """Cyclic convolution a*b mod (X^n - 1, q)."""
+        fa = self.ntt(a)
+        fb = self.ntt(b)
+        prod = mont_mul_lazy(_as_u32(fa), _as_u32(fb), self.q, self.qinv_neg)
+        return self.intt(prod, scale=self.polymul_scale)
+
+    def __repr__(self):
+        return f"CyclicRing(n={self.n}, q={self.q}, backend={self.backend!r})"
 
 
 class RNSRing:

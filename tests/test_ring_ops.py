@@ -1,0 +1,106 @@
+"""Galois automorphisms and the cyclic ring — beyond-reference ring ops."""
+
+import numpy as np
+import pytest
+
+from agilex_ntt_tpu import CyclicRing, Ring
+
+
+@pytest.fixture(scope="module")
+def ring():
+    return Ring(256, backend="xla")
+
+
+def _naive_auto(a, k, q):
+    """tau_k by direct exponent bookkeeping over X^n = -1."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.uint32)
+    for j in range(n):
+        e = j * k % (2 * n)
+        if e < n:
+            out[e] = (int(out[e]) + int(a[j])) % q
+        else:
+            out[e - n] = (int(out[e - n]) - int(a[j])) % q
+    return out
+
+
+@pytest.mark.parametrize("k", [3, 5, 2 * 256 - 1])
+def test_automorphism_coeff_matches_naive(ring, rng, k):
+    a = rng.integers(0, ring.q, size=(256,), dtype=np.uint32)
+    got = np.asarray(ring.automorphism(a, k))
+    assert (got == _naive_auto(a, k, ring.q)).all()
+
+
+def test_automorphism_ntt_domain_commutes(ring, rng):
+    """NTT(tau_k(a)) == slot-permutation of NTT(a)."""
+    a = rng.integers(0, ring.q, size=(4, 256), dtype=np.uint32)
+    for k in (3, 7, 9):
+        lhs = np.asarray(ring.ntt(ring.automorphism(a, k)))
+        rhs = np.asarray(ring.automorphism(ring.ntt(a), k, domain="ntt"))
+        assert (lhs == rhs).all(), k
+
+
+def test_automorphism_composition(ring, rng):
+    a = rng.integers(0, ring.q, size=(256,), dtype=np.uint32)
+    k1, k2 = 3, 5
+    lhs = np.asarray(ring.automorphism(ring.automorphism(a, k1), k2))
+    rhs = np.asarray(ring.automorphism(a, k1 * k2))
+    assert (lhs == rhs).all()
+
+
+def test_automorphism_identity_and_validation(ring, rng):
+    a = rng.integers(0, ring.q, size=(256,), dtype=np.uint32)
+    assert (np.asarray(ring.automorphism(a, 1)) == a).all()
+    with pytest.raises(ValueError, match="odd"):
+        ring.automorphism(a, 2)
+    with pytest.raises(ValueError, match="domain"):
+        ring.automorphism(a, 3, domain="spectral")
+
+
+def test_automorphism_respects_polymul(ring, rng):
+    """tau_k is a ring homomorphism: tau(a*b) == tau(a)*tau(b)."""
+    a = rng.integers(0, ring.q, size=(256,), dtype=np.uint32)
+    b = rng.integers(0, ring.q, size=(256,), dtype=np.uint32)
+    k = 5
+    lhs = np.asarray(ring.automorphism(ring.polymul(a, b), k))
+    rhs = np.asarray(ring.polymul(ring.automorphism(a, k), ring.automorphism(b, k)))
+    assert (lhs == rhs).all()
+
+
+# -- cyclic ring --------------------------------------------------------------
+
+
+def test_cyclic_roundtrip(rng):
+    r = CyclicRing(512, backend="xla")
+    x = rng.integers(0, r.q, size=(4, 512), dtype=np.uint32)
+    assert (np.asarray(r.intt(r.ntt(x))) == x).all()
+
+
+def test_cyclic_polymul_matches_naive(rng):
+    r = CyclicRing(128, backend="xla")
+    a = rng.integers(0, r.q, size=(128,), dtype=np.uint32)
+    b = np.zeros(128, dtype=np.uint32)
+    b[0], b[1], b[5] = 2, 7, 11
+    got = np.asarray(r.polymul(a, b))
+    acc = np.zeros(128, dtype=object)
+    for j in (0, 1, 5):
+        for i in range(128):
+            acc[(i + j) % 128] = (acc[(i + j) % 128] + int(a[i]) * int(b[j])) % r.q
+    assert (got == acc.astype(np.uint32)).all()
+
+
+def test_cyclic_wraparound_differs_from_negacyclic(rng):
+    """x^(n-1) * x = x^n: +1 cyclically, -1 negacyclically."""
+    n = 128
+    cr = CyclicRing(n, backend="xla")
+    nr = Ring(n, cr.q, backend="xla")
+    a = np.zeros(n, dtype=np.uint32); a[n - 1] = 1
+    b = np.zeros(n, dtype=np.uint32); b[1] = 1
+    cyc = np.asarray(cr.polymul(a, b))
+    neg = np.asarray(nr.polymul(a, b))
+    assert cyc[0] == 1 and neg[0] == nr.q - 1
+
+
+def test_cyclic_validation():
+    with pytest.raises(ValueError, match="CyclicRing supports"):
+        CyclicRing(1 << 16)
