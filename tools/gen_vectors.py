@@ -24,7 +24,8 @@ from agilex_ntt_tpu import golden as G
 from agilex_ntt_tpu import native
 from agilex_ntt_tpu.params import find_primes, make_params
 
-SIZES = [32, 1024, 4096]
+# full reference size menu (include/kernel/ntt.h:11-23) plus n=4096
+SIZES = [32, 1024, 4096, 8192, 16384, 32768]
 ORACLE_FULL = {32, 1024}   # big-int oracle over every output index
 ORACLE_SPOT = 64           # spot indices for larger sizes
 
