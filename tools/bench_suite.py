@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Extended benchmark suite: one JSON line per metric (bench.py's shape).
+
+Covers the workloads beyond the headline single-size bench: polymul (the
+flagship composite op), large-N four-step transforms, RNS multi-prime, and
+the inverse transform.  Baselines, where they exist, are derived from the
+reference FPGA's design parameters the same way bench.py derives its
+headline (VEC=8 butterflies/cycle at II=1, ~400 MHz:
+/root/reference/src/kernel/ntt.cpp:14-16,155-158); ops with no FPGA analog
+report vs_baseline null.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from agilex_ntt_tpu import Ring, RNSRing  # noqa: E402
+from agilex_ntt_tpu.utils.profiling import device_time  # noqa: E402
+
+
+def fpga_ntts_per_sec(n: int) -> float:
+    logn = n.bit_length() - 1
+    return 400e6 / (logn * n / 16)
+
+
+def best(fn, x, iters, trials=3):
+    return min(device_time(fn, x, iters=iters) for _ in range(trials))
+
+
+def line(metric, value, unit, vs=None):
+    print(json.dumps({
+        "metric": metric, "value": value, "unit": unit, "vs_baseline": vs,
+    }))
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    key = jax.random.PRNGKey(0)
+
+    # forward + inverse + polymul at the headline size
+    n, B = 4096, 8192 if on_tpu else 64
+    iters = 20 if on_tpu else 2
+    r = Ring(n)
+    x = jax.random.randint(key, (B, n), 0, r.q, dtype=jnp.uint32)
+    t = best(lambda v: r.ntt(v), x, iters)
+    line(f"fwd NTT/s (n={n}, batch={B})", round(B / t, 1), "NTT/s",
+         round(B / t / fpga_ntts_per_sec(n), 2))
+    t = best(lambda v: r.intt(v), x, iters)
+    line(f"inv NTT/s (n={n}, batch={B})", round(B / t, 1), "NTT/s", None)
+    t = best(lambda v: r.polymul(v, v), x, max(4, iters // 2))
+    line(f"polymul/s (n={n}, batch={B})", round(B / t, 1), "polymul/s", None)
+
+    # large-N four-step (beyond the reference's 32768 ceiling)
+    for ln, lb in ((16, 512), (20, 32)):
+        if not on_tpu and ln > 16:
+            continue
+        nn, bb = 1 << ln, lb if on_tpu else 4
+        rr = Ring(nn)
+        xx = jax.random.randint(key, (bb, nn), 0, rr.q, dtype=jnp.uint32)
+        t = best(lambda v: rr.ntt(v), xx, 10 if on_tpu else 1)
+        line(f"fwd NTT/s (n=2^{ln}, batch={bb}, four-step)",
+             round(bb / t, 1), "NTT/s", None)
+
+    # RNS: 3-prime channel throughput
+    rb = 2048 if on_tpu else 16
+    rns = RNSRing(4096, num_primes=3)
+    xr = jax.random.randint(key, (3, rb, 4096), 0, min(rns.qs), dtype=jnp.uint32)
+    t = best(lambda v: rns.ntt(v), xr, max(4, iters // 2))
+    line(f"RNS channel-NTT/s (L=3, n=4096, batch={rb})",
+         round(3 * rb / t, 1), "NTT/s", None)
+
+
+if __name__ == "__main__":
+    main()
