@@ -5,6 +5,18 @@ Built from scratch in JAX/Pallas with the capabilities of joekurina/Agilex-NTT
 at the repository root for the component-by-component mapping.
 """
 
+import os as _os
+
+if _os.environ.get("NTT_TPU_COMPILE_CACHE"):
+    # opt-in persistent XLA compilation cache: first TPU compiles in this
+    # environment take 20-60 s; cached recompiles are near-instant.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir", _os.environ["NTT_TPU_COMPILE_CACHE"]
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .api import CyclicRing, Ring, RNSRing
 from .config import NTTConfig, REFERENCE_SIZES
 from .params import NTTParams, find_primes, find_psi, make_params

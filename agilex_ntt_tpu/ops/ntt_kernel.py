@@ -74,7 +74,8 @@ def _fwd_kernel(x_ref, w_ref, p0_ref, p1_ref, o_ref, *, ts, q, final_reduce):
 
 
 def _inv_kernel(
-    x_ref, w_ref, p0_ref, p1_ref, o_ref, *, ts, q, scale, scale_precon
+    x_ref, w_ref, p0_ref, p1_ref, o_ref, *, ts, q, scale, scale_precon,
+    scale_in_tables=False,
 ):
     o_ref[:] = inv_stages(
         x_ref[:],
@@ -86,6 +87,7 @@ def _inv_kernel(
         scale=scale,
         scale_precon=scale_precon,
         roll=_pallas_roll,
+        scale_in_tables=scale_in_tables,
     )
 
 
@@ -160,11 +162,12 @@ def fwd_stages_pallas(
 
 def inv_stages_pallas(
     x, w, p0, p1, *, ts, q, scale=None, scale_precon=None,
-    block_rows=None, interpret=False,
+    block_rows=None, interpret=False, scale_in_tables=False,
 ):
     """Inverse stages with strides `ts` (+ fused scaling if `scale` given)."""
     kern = functools.partial(
-        _inv_kernel, ts=ts, q=q, scale=scale, scale_precon=scale_precon
+        _inv_kernel, ts=ts, q=q, scale=scale, scale_precon=scale_precon,
+        scale_in_tables=scale_in_tables,
     )
     return _call(
         kern, x, w, p0, p1,
@@ -213,11 +216,12 @@ def inv_ntt(
     """
     if scale is None:
         scale = params.n_inv
-    scale_precon = (scale << 32) // params.q
-    tabs = st.inv_stage_tables(params)
+    # scaling rides the last stage's twiddle row: no standalone scale pass
+    tabs = st.inv_stage_tables_scaled(params, scale)
     ts = tuple(1 << s for s in range(params.log_n))
     return inv_stages_pallas(
         x, tabs.w, tabs.p0, tabs.p1,
-        ts=ts, q=params.q, scale=scale, scale_precon=scale_precon,
+        ts=ts, q=params.q, scale=None, scale_precon=None,
+        scale_in_tables=True,
         block_rows=block_rows, interpret=interpret,
     )

@@ -130,6 +130,19 @@ def inv_stage_step(x, partner, mask_u, w, p0, p1, *, q: int):
     return jnp.where(mask_u, ssum, Q)
 
 
+def inv_stage_step_final(x, partner, mask_u, w, p0, p1, *, q: int):
+    """Last GS stage with the n^-1 (or folded) scaling in its twiddle row.
+
+    Expects tables from ``stage_tables.inv_stage_tables_scaled``: `scale` at
+    u slots, `scale * w1` at v slots.  val (sum or diff) is < 4q < 2^32 and
+    Shoup's bound holds for any uint32 operand, so one lazy mulmod + one
+    conditional subtraction fully reduces to [0, q).
+    """
+    val = jnp.where(mask_u, x + partner, partner - x + U32(2 * q))
+    hi = mulhi_u32_presplit(val, p0, p1)
+    return cond_sub(w * val - hi * U32(q), U32(q))
+
+
 def apply_scale(x, *, q: int, scale: int, scale_precon: int):
     """Fused final scaling (n^-1, possibly with folded constants), -> [0, q)."""
     sp0 = U32(scale_precon & 0xFFFF)
@@ -187,17 +200,21 @@ def inv_stages(
     scale_precon=None,
     roll: RollFn,
     use_split: bool = False,
+    scale_in_tables: bool = False,
 ) -> jnp.ndarray:
     """Run inverse stages with strides `ts` (full transform: [1, 2, ..., n/2];
-    the stage-sharded path passes the local prefix), plus fused final scaling
-    when `scale` is given.
+    the stage-sharded path passes the local prefix), plus final scaling —
+    either as a standalone pass (`scale`/`scale_precon`) or folded into the
+    last stage's twiddle row (`scale_in_tables`, tables from
+    ``inv_stage_tables_scaled``; saves one mulmod pass per element).
 
     x: (rows, width) uint32 in [0, 2q); output [0, q) if scaled, else [0, 2q).
     """
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
     width = x.shape[1]
     for s, t in enumerate(ts):
-        if use_split and t >= SPLIT_MIN_T and width % (2 * t) == 0:
+        final = scale_in_tables and s == len(ts) - 1
+        if not final and use_split and t >= SPLIT_MIN_T and width % (2 * t) == 0:
             x = inv_stage_step_split(
                 x, w_rows(s), p0_rows(s), p1_rows(s), t=t, q=q
             )
@@ -205,9 +222,10 @@ def inv_stages(
         t_log = t.bit_length() - 1
         mask_u = ((lane >> t_log) & 1) == 0
         pu = partner_via_roll(x, mask_u, t, roll)
-        x = inv_stage_step(
+        step = inv_stage_step_final if final else inv_stage_step
+        x = step(
             x, pu, mask_u, w_rows(s), p0_rows(s), p1_rows(s), q=q
         )
-    if scale is not None:
+    if scale is not None and not scale_in_tables:
         x = apply_scale(x, q=q, scale=scale, scale_precon=scale_precon)
     return x

@@ -78,3 +78,30 @@ def fwd_stage_tables(params: NTTParams) -> StageTables:
 
 def inv_stage_tables(params: NTTParams) -> StageTables:
     return _inv_cached(params)
+
+
+@functools.lru_cache(maxsize=128)
+def inv_stage_tables_scaled(params: NTTParams, scale: int) -> StageTables:
+    """Inverse tables with the final scaling folded into the LAST stage.
+
+    The last GS stage (t = n/2) uses one uniform twiddle w1 = inv_roots[1];
+    its positional row becomes `scale` at u slots (multiplying the sum) and
+    `scale * w1` at v slots (multiplying the difference), so the standalone
+    per-element scaling pass disappears — one mulmod per element per stage,
+    including the last.  Exact same outputs as apply_scale (both fully
+    reduce mod q).
+    """
+    base = _inv_cached(params)
+    n, q = params.n, params.q
+    w1 = int(params.inv_roots32[1])
+    wu, wv = scale % q, scale * w1 % q
+    w_last = np.where(np.arange(n) < n // 2, np.uint32(wu), np.uint32(wv))
+    p_last = np.where(
+        np.arange(n) < n // 2,
+        np.uint32((wu << 32) // q),
+        np.uint32((wv << 32) // q),
+    )
+    w = base.w.copy(); w[-1] = w_last
+    p0 = base.p0.copy(); p0[-1] = p_last & np.uint32(0xFFFF)
+    p1 = base.p1.copy(); p1[-1] = p_last >> np.uint32(16)
+    return StageTables(w=w, p0=p0, p1=p1)

@@ -52,8 +52,8 @@ def inv_ntt_xla(
     """Inverse negacyclic NTT of (batch, n) uint32 via plain XLA ops."""
     if scale is None:
         scale = params.n_inv
-    scale_precon = (scale << 32) // params.q
-    tabs = st.inv_stage_tables(params)
+    # scaling rides the last stage's twiddle row: no standalone scale pass
+    tabs = st.inv_stage_tables_scaled(params, scale)
     ts = tuple(1 << s for s in range(params.log_n))
     return inv_stages(
         jnp.asarray(x, dtype=jnp.uint32),
@@ -62,7 +62,6 @@ def inv_ntt_xla(
         _row_getter(tabs.p1),
         ts=ts,
         q=params.q,
-        scale=scale,
-        scale_precon=scale_precon,
         roll=jnp_roll,
+        scale_in_tables=True,
     )

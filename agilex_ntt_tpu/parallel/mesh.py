@@ -194,8 +194,17 @@ class ShardedRing:
 
     def polymul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Negacyclic product; pointwise stage is elementwise so it keeps
-        whatever sharding the transforms produce."""
-        fa = self.ntt(a)
-        fb = self.ntt(b)
-        prod = self.ring.pointwise_mul_lazy(fa, fb)
-        return self.intt(prod, scale=self.ring.polymul_scale)
+        whatever sharding the transforms produce.  The composition runs as
+        one jitted computation (single dispatch)."""
+        fn = self._dp_cache.get("polymul")
+        if fn is None:
+
+            def f(x, y):
+                fa = self.ntt(x)
+                fb = self.ntt(y)
+                prod = self.ring._pointwise_lazy_expr(fa, fb)
+                return self.intt(prod, scale=self.ring.polymul_scale)
+
+            fn = jax.jit(f)
+            self._dp_cache["polymul"] = fn
+        return fn(a, b)
