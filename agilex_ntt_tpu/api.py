@@ -215,10 +215,27 @@ class Ring:
 
         NTT both operands, Montgomery pointwise multiply (lazy, [0, 2q)),
         inverse NTT with the stray R^{-1} folded into the n^{-1} scaling —
-        so the pointwise step costs no extra reduction pass.  The whole
-        composition is one jitted computation (single dispatch, pointwise
-        fused by XLA).
+        so the pointwise step costs no extra reduction pass.  On the Pallas
+        radix-2 path all three phases run as ONE kernel on the resident
+        VMEM tile (ntt_kernel.polymul_fused: 3 HBM passes instead of 7);
+        otherwise the composition is one jitted computation.
         """
+        if self.method == "radix2" and self.backend == "pallas":
+
+            def build():
+                def f(x, y):
+                    xf, lead, bb = self._flatten(x)
+                    yf, _, _ = self._flatten(y)
+                    out = ntt_kernel.polymul_fused(
+                        xf, yf, self.params,
+                        scale=self.polymul_scale, qinv_neg=self.qinv_neg,
+                        block_rows=self.block_rows, interpret=self.interpret,
+                    )
+                    return self._unflatten(out, lead, bb)
+
+                return f
+
+            return self._jitted("polymul_fused", build)(_as_u32(a), _as_u32(b))
         fn = self._jitted(
             "polymul",
             lambda: lambda x, y: self.intt(

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import NTTParams
 from . import stage_tables as st
+from .modmul import mont_mul_lazy
 from .stage_math import fwd_stages, inv_stages
 
 DEFAULT_BLOCK_ROWS = 64
@@ -172,6 +173,86 @@ def inv_stages_pallas(
     return _call(
         kern, x, w, p0, p1,
         block_rows=block_rows, interpret=interpret, num_stages=len(ts),
+    )
+
+
+def _polymul_kernel(
+    a_ref, b_ref, fw, fp0, fp1, iw, ip0, ip1, o_ref, *,
+    fwd_ts, inv_ts, q, qinv_neg,
+):
+    fa = fwd_stages(
+        a_ref[:], _row_reader(fw), _row_reader(fp0), _row_reader(fp1),
+        ts=fwd_ts, q=q, final_reduce=True, roll=_pallas_roll,
+    )
+    fb = fwd_stages(
+        b_ref[:], _row_reader(fw), _row_reader(fp0), _row_reader(fp1),
+        ts=fwd_ts, q=q, final_reduce=True, roll=_pallas_roll,
+    )
+    prod = mont_mul_lazy(fa, fb, q, qinv_neg)  # [0, 2q); R^-1 folds into scale
+    o_ref[:] = inv_stages(
+        prod, _row_reader(iw), _row_reader(ip0), _row_reader(ip1),
+        ts=inv_ts, q=q, roll=_pallas_roll, scale_in_tables=True,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "scale", "qinv_neg", "block_rows", "interpret")
+)
+def polymul_fused(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    params: NTTParams,
+    *,
+    scale: int,
+    qinv_neg: int,
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Negacyclic a*b mod (X^n + 1, q) as ONE Pallas kernel.
+
+    Forward-transforms both operands, Montgomery-multiplies pointwise, and
+    inverse-transforms — all on the same resident VMEM tile: two HBM reads
+    and one write total, versus seven passes for the separate-kernel
+    composition.  `scale` must already fold n^-1 and the Montgomery R
+    (api.Ring.polymul_scale).  The TPU analog of the reference frame never
+    leaving BLOCK_RAM between pipeline phases (ntt.cpp:90-101, 508-640).
+    """
+    ftabs = st.fwd_stage_tables(params)
+    itabs = st.inv_stage_tables_scaled(params, scale)
+    n, logn = params.n, params.log_n
+    fwd_ts = tuple(n >> (s + 1) for s in range(logn))
+    inv_ts = tuple(1 << s for s in range(logn))
+    batch, width = a.shape
+    br = _pick_block_rows(batch, width, block_rows)
+    grid = (batch // br,)
+    x_spec = pl.BlockSpec((br, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(
+        (logn, width), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _polymul_kernel, fwd_ts=fwd_ts, inv_ts=inv_ts, q=params.q,
+        qinv_neg=qinv_neg,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[x_spec, x_spec] + [tab_spec] * 6,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, width), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 25 * logn * batch * width,
+            bytes_accessed=3 * 4 * batch * width,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        a, b,
+        jnp.asarray(ftabs.w), jnp.asarray(ftabs.p0), jnp.asarray(ftabs.p1),
+        jnp.asarray(itabs.w), jnp.asarray(itabs.p0), jnp.asarray(itabs.p1),
     )
 
 

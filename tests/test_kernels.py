@@ -89,3 +89,24 @@ def test_block_rows_grid(rng):
     b = np.asarray(K.fwd_ntt(x, pp, block_rows=32, **INTERP))
     assert (a == b).all()
     assert (a == G.fwd_ntt_u32(x, pp)).all()
+
+
+def test_polymul_fused_kernel_matches_golden(rng):
+    """One-kernel polymul (fwd x2 + Montgomery pointwise + scaled inverse)."""
+    from agilex_ntt_tpu.ops.modmul import mont_qinv_neg
+
+    n = 256
+    pp = params_for(n)
+    q = pp.q
+    scale = pp.n_inv * ((1 << 32) % q) % q  # fold n^-1 and Montgomery R
+    a = rng.integers(0, q, size=(8, n), dtype=np.uint32)
+    b = rng.integers(0, q, size=(8, n), dtype=np.uint32)
+    got = np.asarray(K.polymul_fused(
+        a, b, pp, scale=scale, qinv_neg=mont_qinv_neg(q),
+        block_rows=8, **INTERP,
+    ))
+    fa = G.fwd_ntt_u32(a, pp).astype(np.uint64)
+    fb = G.fwd_ntt_u32(b, pp).astype(np.uint64)
+    prod = ((fa * fb) % np.uint64(q)).astype(np.uint32)
+    want = G.inv_ntt_u32(prod, pp)
+    assert (got == want).all()
