@@ -289,6 +289,54 @@ class Ring:
         )
         return fn(_as_u32(a))
 
+    def polydot(self, a, b) -> jnp.ndarray:
+        """Inner product of polynomial vectors: sum_i a_i * b_i mod (X^n+1, q).
+
+        a, b: (..., k, n).  Costs 2k forward transforms + k pointwise + ONE
+        inverse (vs 3k transforms for k separate polymuls) — the key-switch /
+        external-product primitive in RNS-FHE.  Accumulation stays lazy in
+        [0, 2q) with a conditional subtraction per term.
+        """
+
+        def build():
+            def f(x, y):
+                fx = self.ntt(x)
+                fy = self.ntt(y)
+                terms = self._pointwise_lazy_expr(fx, fy)  # (..., k, n) in [0,2q)
+                two_q = U32(2 * self.q)
+                k = terms.shape[-2]
+                acc = terms[..., 0, :]
+                for i in range(1, k):  # k is static; sum stays in [0, 2q)
+                    acc = cond_sub(acc + terms[..., i, :], two_q)
+                return self.intt(acc, scale=self.polymul_scale)
+
+            return f
+
+        a, b = _as_u32(a), _as_u32(b)
+        if a.shape != b.shape or a.ndim < 2 or a.shape[-1] != self.n:
+            raise ValueError(
+                f"polydot expects matching (..., k, n={self.n}) shapes, got "
+                f"{a.shape} and {b.shape}"
+            )
+        return self._jitted("polydot", build)(a, b)
+
+    def rotate(self, x, k: int) -> jnp.ndarray:
+        """Multiply by X^k (negacyclic rotation): coefficients shift by k with
+        sign flips on wraparound (X^n = -1).  k may be any integer."""
+        x = _as_u32(x)
+        if x.shape[-1] != self.n:
+            raise ValueError(f"last dim must be n={self.n}, got {x.shape}")
+        k %= 2 * self.n
+        n = self.n
+        src = (np.arange(n) - k) % (2 * n)
+        neg = src >= n
+        idx = jnp.asarray(np.where(neg, src - n, src))
+        flip = jnp.asarray(neg)
+        g = jnp.take(x, idx, axis=-1)
+        return jnp.where(
+            flip, jnp.where(g == U32(0), U32(0), U32(self.q) - g), g
+        )
+
     # -- Galois automorphisms -------------------------------------------------
 
     @functools.lru_cache(maxsize=128)

@@ -104,3 +104,40 @@ def test_cyclic_wraparound_differs_from_negacyclic(rng):
 def test_cyclic_validation():
     with pytest.raises(ValueError, match="CyclicRing supports"):
         CyclicRing(1 << 16)
+
+
+def test_polydot_matches_sum_of_polymuls(ring, rng):
+    k = 4
+    a = rng.integers(0, ring.q, size=(k, 256), dtype=np.uint32)
+    b = rng.integers(0, ring.q, size=(k, 256), dtype=np.uint32)
+    got = np.asarray(ring.polydot(a, b))
+    want = np.zeros(256, dtype=np.uint64)
+    for i in range(k):
+        want = (want + np.asarray(ring.polymul(a[i], b[i])).astype(np.uint64)) % np.uint64(ring.q)
+    assert (got.astype(np.uint64) == want).all()
+
+
+def test_polydot_batched_and_validated(ring, rng):
+    a = rng.integers(0, ring.q, size=(2, 3, 256), dtype=np.uint32)
+    b = rng.integers(0, ring.q, size=(2, 3, 256), dtype=np.uint32)
+    got = np.asarray(ring.polydot(a, b))
+    assert got.shape == (2, 256)
+    for j in range(2):
+        want = np.asarray(ring.polydot(a[j], b[j]))
+        assert (got[j] == want).all()
+    with pytest.raises(ValueError, match="matching"):
+        ring.polydot(a, b[:1])
+
+
+def test_rotate_matches_polymul_by_monomial(ring, rng):
+    a = rng.integers(0, ring.q, size=(256,), dtype=np.uint32)
+    for k in (1, 5, 255, 256, 300, -3):
+        xk = np.zeros(256, dtype=np.uint32)
+        kk = k % 512
+        if kk < 256:
+            xk[kk] = 1
+        else:
+            xk[kk - 256] = ring.q - 1
+        want = np.asarray(ring.polymul(a, xk))
+        got = np.asarray(ring.rotate(a, k))
+        assert (got == want).all(), k
