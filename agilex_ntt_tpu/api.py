@@ -151,6 +151,8 @@ class Ring:
             raise ValueError(f"last dim must be n={self.n}, got {x.shape}")
         lead = x.shape[:-1]
         b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        if b == 0:
+            raise ValueError(f"empty batch: shape {x.shape}")
         flat = x.reshape(b, self.n)
         pad = (-b) % 8
         if pad:
@@ -424,7 +426,8 @@ class CyclicRing:
 
     Runs the same butterfly kernels as Ring with cyclic twiddle tables
     (params.make_cyclic_params) — the machinery the four-step row pass uses,
-    exposed as a first-class ring.  The reference is negacyclic-only; cyclic
+    exposed as a first-class ring.  Sizes beyond the single-pass wall use
+    the all-cyclic four-step plan.  The reference is negacyclic-only; cyclic
     convolution (signal-processing style) is beyond-reference capability.
     Requires q ≡ 1 (mod n).
     """
@@ -435,14 +438,11 @@ class CyclicRing:
         q: Optional[int] = None,
         *,
         omega: Optional[int] = None,
+        method: Optional[str] = None,
         backend: Optional[str] = None,
         block_rows: Optional[int] = None,
         interpret: bool = False,
     ):
-        if n > MAX_RADIX2_N:
-            raise ValueError(
-                f"CyclicRing supports n <= {MAX_RADIX2_N} (single-pass kernel)"
-            )
         if q is None:
             q = find_primes(n, 1)[0]
         if q % n != 1:
@@ -450,7 +450,21 @@ class CyclicRing:
         if omega is None:
             g = primitive_root(q)
             omega = pow(g, (q - 1) // n, q)
-        self.params: CyclicParams = make_cyclic_params(n, q, omega)
+        if method is None:
+            method = "fourstep" if n > MAX_RADIX2_N else "radix2"
+        if method not in ("radix2", "fourstep"):
+            raise ValueError(f"unknown method {method!r}")
+        if method == "radix2" and n > MAX_RADIX2_N:
+            raise ValueError(
+                f"radix2 supports n <= {MAX_RADIX2_N}; use method='fourstep'"
+            )
+        self.method = method
+        if method == "fourstep":
+            self.plan = fourstep.make_cyclic_plan(n, q, omega)
+            self.params: Optional[CyclicParams] = None
+        else:
+            self.plan = None
+            self.params = make_cyclic_params(n, q, omega)
         self.n, self.q, self.omega = n, q, omega
         self.block_rows = block_rows
         self.interpret = interpret
@@ -471,7 +485,12 @@ class CyclicRing:
     def ntt(self, x) -> jnp.ndarray:
         """Cyclic NTT: out[bitrev(k)] = A(omega^k), output in [0, q)."""
         flat, lead, b = self._flatten(_as_u32(x))
-        if self.backend == "pallas":
+        if self.method == "fourstep":
+            y = fourstep.fwd_ntt_fourstep(
+                flat, self.plan, backend=self.backend,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        elif self.backend == "pallas":
             y = ntt_kernel.fwd_ntt(
                 flat, self.params,
                 block_rows=self.block_rows, interpret=self.interpret,
@@ -482,7 +501,12 @@ class CyclicRing:
 
     def intt(self, x, *, scale: Optional[int] = None) -> jnp.ndarray:
         flat, lead, b = self._flatten(_as_u32(x))
-        if self.backend == "pallas":
+        if self.method == "fourstep":
+            y = fourstep.inv_ntt_fourstep(
+                flat, self.plan, scale=scale, backend=self.backend,
+                block_rows=self.block_rows, interpret=self.interpret,
+            )
+        elif self.backend == "pallas":
             y = ntt_kernel.inv_ntt(
                 flat, self.params, scale=scale,
                 block_rows=self.block_rows, interpret=self.interpret,
@@ -506,7 +530,10 @@ class CyclicRing:
         return fn(_as_u32(a), _as_u32(b))
 
     def __repr__(self):
-        return f"CyclicRing(n={self.n}, q={self.q}, backend={self.backend!r})"
+        return (
+            f"CyclicRing(n={self.n}, q={self.q}, backend={self.backend!r},"
+            f" method={self.method!r})"
+        )
 
 
 class RNSRing:

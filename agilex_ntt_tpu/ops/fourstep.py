@@ -396,6 +396,48 @@ def _full_pass_inv(x3, plan, *, col_scale, interpret):
     )
 
 
+@functools.lru_cache(maxsize=32)
+def make_cyclic_plan(
+    n: int, q: int, omega: int, n1: Optional[int] = None
+) -> FourStepPlan:
+    """Four-step plan for the size-n *cyclic* NTT (root omega of order n).
+
+    Same machinery as the negacyclic plan with both passes cyclic:
+    X(k) = sum_c omega^(c*k1) * omega2^(c*k2) * G[k1, c], where
+    G[k1, c] is the size-n1 cyclic transform of column c with
+    omega1 = omega^n2, and the row pass uses omega2 = omega^n1.  The
+    inter-pass scale is T[r1, c] = omega^(c * bitrev(r1)).  Output order is
+    bit-reversed exactly like the single-pass cyclic kernel.
+    """
+    if pow(omega, n, q) != 1 or (n > 1 and pow(omega, n // 2, q) == 1):
+        raise ValueError("omega is not a primitive n-th root")
+    if n1 is None:
+        n1, n2 = fourstep_split(n)
+    else:
+        n2 = n // n1
+    if n1 * n2 != n or n1 < 2 or n2 < 2:
+        raise ValueError(f"bad split {n} = {n1} * {n2}")
+    col = make_cyclic_params(n1, q, pow(omega, n2, q))
+    row = make_cyclic_params(n2, q, pow(omega, n1, q))
+
+    pows = [1] * n
+    acc = 1
+    for i in range(1, n):
+        acc = acc * omega % q
+        pows[i] = acc
+    pows_np = np.array(pows, dtype=np.uint64)
+    l1 = log2_exact(n1)
+    k1 = np.array([bit_reverse(r, l1) for r in range(n1)], dtype=np.int64)
+    e = (k1[:, None] * np.arange(n2, dtype=np.int64)[None, :]) % n
+    tw, tp0, tp1 = _presplit(pows_np[e], q)
+    itw, itp0, itp1 = _presplit(pows_np[(-e) % n], q)
+    return FourStepPlan(
+        n=n, q=q, psi=0, n1=n1, n2=n2, col=col, row=row,
+        tw=tw, tp0=tp0, tp1=tp1, itw=itw, itp0=itp0, itp1=itp1,
+        n_inv=pow(n, q - 2, q),
+    )
+
+
 def _fwd_small(x, params, *, backend, block_rows, interpret):
     if backend == "pallas" and params.n >= ntt_kernel.MIN_KERNEL_N:
         return ntt_kernel.fwd_ntt(

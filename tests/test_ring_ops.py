@@ -101,9 +101,29 @@ def test_cyclic_wraparound_differs_from_negacyclic(rng):
     assert cyc[0] == 1 and neg[0] == nr.q - 1
 
 
-def test_cyclic_validation():
-    with pytest.raises(ValueError, match="CyclicRing supports"):
-        CyclicRing(1 << 16)
+def test_cyclic_large_n_fourstep(rng):
+    """Beyond the single-pass wall the cyclic ring uses the all-cyclic
+    four-step plan; roundtrip + the pure-rotation convolution property."""
+    r = CyclicRing(1 << 16, backend="xla")
+    assert r.method == "fourstep"
+    x = rng.integers(0, r.q, size=(2, r.n), dtype=np.uint32)
+    assert (np.asarray(r.intt(r.ntt(x))) == x).all()
+    xp = np.zeros(r.n, dtype=np.uint32)
+    xp[1] = 1
+    got = np.asarray(r.polymul(x[0], xp))
+    assert (got == np.roll(x[0], 1)).all()
+    with pytest.raises(ValueError):
+        CyclicRing(1 << 16, method="radix2")
+
+
+def test_cyclic_fourstep_matches_radix2(rng):
+    n = 4096
+    r2 = CyclicRing(n, backend="xla")
+    r4 = CyclicRing(n, r2.q, omega=r2.omega, method="fourstep", backend="xla")
+    x = rng.integers(0, r2.q, size=(3, n), dtype=np.uint32)
+    assert (np.asarray(r2.ntt(x)) == np.asarray(r4.ntt(x))).all()
+    y = r2.ntt(x)
+    assert (np.asarray(r2.intt(y)) == np.asarray(r4.intt(y))).all()
 
 
 def test_polydot_matches_sum_of_polymuls(ring, rng):
