@@ -610,6 +610,25 @@ class RNSRing:
     def sub(self, a, b) -> jnp.ndarray:
         return self._map("sub", jnp.asarray(a), jnp.asarray(b))
 
+    def polydot(self, a, b) -> jnp.ndarray:
+        """Per-channel fused inner product: shapes (L, ..., k, n)."""
+        return self._map("polydot", jnp.asarray(a), jnp.asarray(b))
+
+    def automorphism(self, x, k: int, *, domain: str = "coeff") -> jnp.ndarray:
+        """tau_k on every channel (the index tables are q-independent)."""
+        x = jnp.asarray(x)
+        self._check(x)
+        outs = [r.automorphism(x[i], k, domain=domain)
+                for i, r in enumerate(self.rings)]
+        return jnp.stack(outs, axis=0)
+
+    def rotate(self, x, k: int) -> jnp.ndarray:
+        """Multiply every channel by X^k."""
+        x = jnp.asarray(x)
+        self._check(x)
+        outs = [r.rotate(x[i], k) for i, r in enumerate(self.rings)]
+        return jnp.stack(outs, axis=0)
+
     def to_rns(self, coeffs) -> np.ndarray:
         """Host-side: big-int coefficients (..., n) -> residues (L, ..., n)."""
         arr = np.asarray(coeffs, dtype=object)

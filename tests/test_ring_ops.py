@@ -161,3 +161,22 @@ def test_rotate_matches_polymul_by_monomial(ring, rng):
         want = np.asarray(ring.polymul(a, xk))
         got = np.asarray(ring.rotate(a, k))
         assert (got == want).all(), k
+
+
+def test_rns_polydot_and_rotate(rng):
+    from agilex_ntt_tpu import RNSRing
+
+    rns = RNSRing(256, num_primes=2, backend="xla")
+    k = 2
+    a = np.stack([rng.integers(0, q, size=(k, 256), dtype=np.uint32) for q in rns.qs])
+    b = np.stack([rng.integers(0, q, size=(k, 256), dtype=np.uint32) for q in rns.qs])
+    got = np.asarray(rns.polydot(a, b))
+    for i, r in enumerate(rns.rings):
+        assert (got[i] == np.asarray(r.polydot(a[i], b[i]))).all()
+    x = a[:, 0]
+    rot = np.asarray(rns.rotate(x, 5))
+    for i, r in enumerate(rns.rings):
+        assert (rot[i] == np.asarray(r.rotate(x[i], 5))).all()
+    au = np.asarray(rns.automorphism(x, 3))
+    for i, r in enumerate(rns.rings):
+        assert (au[i] == np.asarray(r.automorphism(x[i], 3))).all()

@@ -66,6 +66,15 @@ def main():
         line(f"fwd NTT/s (n=2^{ln}, batch={bb}, four-step)",
              round(bb / t, 1), "NTT/s", None)
 
+    # key-switch-style fused inner product
+    kd = 3
+    xd = jax.random.randint(key, (B // 8, kd, n), 0, r.q, dtype=jnp.uint32)
+    t = best(lambda v: jnp.broadcast_to(
+        r.polydot(v, v)[:, None, :], v.shape).astype(jnp.uint32), xd,
+        max(4, iters // 2))
+    line(f"polydot/s (k={kd}, n={n}, batch={B // 8})",
+         round(B // 8 / t, 1), "dot/s", None)
+
     # RNS: 3-prime channel throughput
     rb = 2048 if on_tpu else 16
     rns = RNSRing(4096, num_primes=3)
