@@ -21,7 +21,6 @@ Typical use::
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -58,10 +57,8 @@ def _default_backend() -> str:
 
 
 def _as_u32(x) -> jnp.ndarray:
-    x = jnp.asarray(x)
-    if x.dtype in (jnp.uint32, jnp.int32):
-        return x.astype(jnp.uint32)
-    return x.astype(jnp.uint32)  # truncating cast; caller guarantees < 2**32
+    # truncating cast; caller guarantees values < 2**32
+    return jnp.asarray(x).astype(jnp.uint32)
 
 
 class Ring:
@@ -101,7 +98,6 @@ class Ring:
                 f"radix2 supports n <= {MAX_RADIX2_N}; use method='fourstep'"
             )
         self.method = method
-        self._psi = psi
         if method == "fourstep":
             # O(sqrt n) bignum setup; the full-size NTTParams (O(n) pows) is
             # only built if .params is actually touched (golden-model tests).
@@ -226,6 +222,11 @@ class Ring:
 
             def build():
                 def f(x, y):
+                    # broadcast to a common leading shape first: the XLA
+                    # composition broadcasts in the pointwise step, and
+                    # padding each operand's batch independently would
+                    # silently zero rows
+                    x, y = jnp.broadcast_arrays(x, y)
                     xf, lead, bb = self._flatten(x)
                     yf, _, _ = self._flatten(y)
                     out = ntt_kernel.polymul_fused(
@@ -324,25 +325,48 @@ class Ring:
 
     def rotate(self, x, k: int) -> jnp.ndarray:
         """Multiply by X^k (negacyclic rotation): coefficients shift by k with
-        sign flips on wraparound (X^n = -1).  k may be any integer."""
+        sign flips on wraparound (X^n = -1).  k may be any integer.  The
+        gather/sign tables and the jitted apply are cached per k."""
         x = _as_u32(x)
         if x.shape[-1] != self.n:
             raise ValueError(f"last dim must be n={self.n}, got {x.shape}")
         k %= 2 * self.n
-        n = self.n
-        src = (np.arange(n) - k) % (2 * n)
-        neg = src >= n
-        idx = jnp.asarray(np.where(neg, src - n, src))
-        flip = jnp.asarray(neg)
-        g = jnp.take(x, idx, axis=-1)
-        return jnp.where(
-            flip, jnp.where(g == U32(0), U32(0), U32(self.q) - g), g
-        )
+        n, q = self.n, self.q
+
+        def build():
+            # tables stay numpy here: creating device arrays in this closure
+            # could run under an enclosing trace (e.g. RNSRing's fused jit)
+            # and leak tracers into the cache; jnp.asarray inside f becomes
+            # a constant of f's own jaxpr
+            src = (np.arange(n) - k) % (2 * n)
+            neg = src >= n
+            idx = np.where(neg, src - n, src).astype(np.int32)
+
+            def f(v):
+                g = jnp.take(v, jnp.asarray(idx), axis=-1)
+                return jnp.where(
+                    jnp.asarray(neg),
+                    jnp.where(g == U32(0), U32(0), U32(q) - g),
+                    g,
+                )
+
+            return f
+
+        return self._jitted(("rotate", k), build)(x)
 
     # -- Galois automorphisms -------------------------------------------------
 
-    @functools.lru_cache(maxsize=128)
     def _auto_tables(self, k: int):
+        cached = self._jit_cache.get(("auto_tables", k))
+        if cached is not None:
+            return cached
+        tables = self._build_auto_tables(k)
+        # per-instance cache (not a class-level lru_cache, which would pin
+        # dropped Ring instances and their device arrays forever)
+        self._jit_cache[("auto_tables", k)] = tables
+        return tables
+
+    def _build_auto_tables(self, k: int):
         """Gather indices/signs for tau_k: a(X) -> a(X^k) mod (X^n + 1).
 
         Coefficient domain: X^j -> X^(jk mod 2n) with X^n = -1, so output
@@ -365,7 +389,9 @@ class Ring:
         for p in range(n):
             e = (2 * bit_reverse(p, logn) + 1) * k % (2 * n)
             ntt_src[p] = bit_reverse((e - 1) // 2, logn)
-        return jnp.asarray(src), jnp.asarray(neg), jnp.asarray(ntt_src)
+        # numpy, not device arrays: this may run under an enclosing trace
+        # (RNSRing's fused jit) and cached tracers would leak
+        return src, neg, ntt_src
 
     def automorphism(self, x, k: int, *, domain: str = "coeff") -> jnp.ndarray:
         """Galois automorphism tau_k: a(X) -> a(X^k) mod (X^n + 1), k odd.
@@ -447,6 +473,18 @@ class CyclicRing:
             q = find_primes(n, 1)[0]
         if q % n != 1:
             raise ValueError(f"q ≡ 1 (mod n) required: q={q} n={n}")
+        # same arithmetic preconditions Ring enforces via NTTConfig/make_params
+        # (q ≡ 1 mod 2n is not required here, so validate directly): the
+        # uint32 Harvey-lazy invariant needs 4q < 2**32, and n_inv via
+        # Fermat needs q prime
+        if q >= (1 << 30):
+            raise ValueError(
+                f"q must be < 2**30 for uint32 lazy arithmetic, got {q}"
+            )
+        from .params import is_prime
+
+        if not is_prime(q):
+            raise ValueError(f"q={q} is not prime")
         if omega is None:
             g = primitive_root(q)
             omega = pow(g, (q - 1) // n, q)
@@ -614,20 +652,40 @@ class RNSRing:
         """Per-channel fused inner product: shapes (L, ..., k, n)."""
         return self._map("polydot", jnp.asarray(a), jnp.asarray(b))
 
+    def _map_static(self, key, per_ring) -> "jnp.ndarray":
+        """Like _map but for ops parameterized by static values (k, domain):
+        all channels trace into one cached jitted call."""
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            rings = self.rings
+
+            def stacked(x):
+                return jnp.stack(
+                    [per_ring(r, x[i]) for i, r in enumerate(rings)], axis=0
+                )
+
+            fn = jax.jit(stacked)
+            self._jit_cache[key] = fn
+        return fn
+
     def automorphism(self, x, k: int, *, domain: str = "coeff") -> jnp.ndarray:
         """tau_k on every channel (the index tables are q-independent)."""
         x = jnp.asarray(x)
         self._check(x)
-        outs = [r.automorphism(x[i], k, domain=domain)
-                for i, r in enumerate(self.rings)]
-        return jnp.stack(outs, axis=0)
+        fn = self._map_static(
+            ("automorphism", k, domain),
+            lambda r, xi: r.automorphism(xi, k, domain=domain),
+        )
+        return fn(x)
 
     def rotate(self, x, k: int) -> jnp.ndarray:
         """Multiply every channel by X^k."""
         x = jnp.asarray(x)
         self._check(x)
-        outs = [r.rotate(x[i], k) for i, r in enumerate(self.rings)]
-        return jnp.stack(outs, axis=0)
+        fn = self._map_static(
+            ("rotate", k), lambda r, xi: r.rotate(xi, k)
+        )
+        return fn(x)
 
     def to_rns(self, coeffs) -> np.ndarray:
         """Host-side: big-int coefficients (..., n) -> residues (L, ..., n)."""

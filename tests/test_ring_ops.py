@@ -180,3 +180,35 @@ def test_rns_polydot_and_rotate(rng):
     au = np.asarray(rns.automorphism(x, 3))
     for i, r in enumerate(rns.rings):
         assert (au[i] == np.asarray(r.automorphism(x[i], 3))).all()
+
+
+def test_polymul_broadcast_shapes(ring, rng):
+    """(B, n) x (n,) broadcasts identically on every backend (regression:
+    the fused-Pallas path used to zero-pad the operands independently)."""
+    a = rng.integers(0, ring.q, size=(4, 256), dtype=np.uint32)
+    b = rng.integers(0, ring.q, size=(256,), dtype=np.uint32)
+    got = np.asarray(ring.polymul(a, b))
+    for j in range(4):
+        assert (got[j] == np.asarray(ring.polymul(a[j], b))).all(), j
+
+
+def test_polymul_broadcast_shapes_fused_interpret(rng):
+    """Same regression through the fused Pallas kernel (interpret mode)."""
+    r = Ring(256, backend="pallas", interpret=True)
+    # force the pallas branch even though default backend on CPU is xla
+    assert r.backend == "pallas" or r.backend == "xla"
+    if r.backend != "pallas":
+        r.backend = "pallas"
+    a = rng.integers(0, r.q, size=(4, 256), dtype=np.uint32)
+    b = rng.integers(0, r.q, size=(256,), dtype=np.uint32)
+    got = np.asarray(r.polymul(a, b))
+    rx = Ring(256, r.q, backend="xla")
+    want = np.asarray(rx.polymul(a, b))
+    assert (got == want).all()
+
+
+def test_cyclic_rejects_oversized_and_composite_q():
+    with pytest.raises(ValueError, match="2\\*\\*30"):
+        CyclicRing(256, q=2147483137)  # 31-bit prime, q % n == 1
+    with pytest.raises(ValueError, match="not prime"):
+        CyclicRing(256, q=257 * 769)  # composite, ≡ 1 (mod 256), < 2**30
