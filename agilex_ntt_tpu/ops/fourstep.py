@@ -82,6 +82,18 @@ class FourStepPlan:
         return log2_exact(self.n)
 
 
+def _check_modulus(q: int) -> None:
+    """Direct-plan entry points must enforce the same preconditions Ring
+    does via NTTConfig: 4q < 2**32 (uint32 lazy invariant) and primality
+    (Fermat n_inv)."""
+    if q >= (1 << 30):
+        raise ValueError(
+            f"q must be < 2**30 for uint32 lazy arithmetic, got {q}"
+        )
+    if not is_prime(q):
+        raise ValueError(f"q={q} is not prime")
+
+
 def _presplit(w: np.ndarray, q: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(w, precon_lo16, precon_hi16) as uint32 — w < 2^30 so w << 32 < 2^62
     fits uint64 exactly."""
@@ -106,8 +118,7 @@ def make_plan(
     """
     if q % (2 * n) != 1:
         raise ValueError(f"q ≡ 1 (mod 2n) required: q={q} n={n}")
-    if not is_prime(q):
-        raise ValueError(f"q={q} is not prime")
+    _check_modulus(q)
     if psi is None:
         psi = find_psi(n, q)
     elif pow(psi, n, q) != q - 1:
@@ -409,6 +420,7 @@ def make_cyclic_plan(
     inter-pass scale is T[r1, c] = omega^(c * bitrev(r1)).  Output order is
     bit-reversed exactly like the single-pass cyclic kernel.
     """
+    _check_modulus(q)
     if pow(omega, n, q) != 1 or (n > 1 and pow(omega, n // 2, q) == 1):
         raise ValueError("omega is not a primitive n-th root")
     if n1 is None:

@@ -109,6 +109,20 @@ def _specs(dp_axis: Optional[str], sp_axis: str):
             P(None, sp_axis)), P(dp_axis, sp_axis)
 
 
+# device-resident scale tables, cached per plan: fresh jnp.asarray(numpy)
+# arguments would re-upload the (n1, n2) tables host->device every call
+@functools.lru_cache(maxsize=256)
+def _dev_fwd_scale(plan):
+    return jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1)
+
+
+@functools.lru_cache(maxsize=256)
+def _dev_inv_scale(plan):
+    return (
+        jnp.asarray(plan.itw), jnp.asarray(plan.itp0), jnp.asarray(plan.itp1)
+    )
+
+
 # cached jitted shard_map wrappers (plan/Mesh are hashable; rebuilding
 # jax.jit per call would recompile every invocation)
 @functools.lru_cache(maxsize=256)
@@ -159,9 +173,8 @@ def fourstep_sharded_fwd(
     num_devices = mesh.shape[axis]
     _check(plan, num_devices)
     fn = _fwd_fn(plan, mesh, axis, dp_axis, backend, interpret, block_rows)
-    return fn(
-        x, jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1)
-    )
+    tw, tp0, tp1 = _dev_fwd_scale(plan)
+    return fn(x, tw, tp0, tp1)
 
 
 def fourstep_sharded_inv(
@@ -184,7 +197,5 @@ def fourstep_sharded_inv(
     if scale is None:
         scale = plan.n_inv
     fn = _inv_fn(plan, mesh, axis, dp_axis, scale, backend, interpret, block_rows)
-    return fn(
-        x, jnp.asarray(plan.itw), jnp.asarray(plan.itp0),
-        jnp.asarray(plan.itp1),
-    )
+    itw, itp0, itp1 = _dev_inv_scale(plan)
+    return fn(x, itw, itp0, itp1)

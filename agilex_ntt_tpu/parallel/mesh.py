@@ -11,7 +11,6 @@ producer broadcasting twiddle words to every CU (ntt.cpp:552-554).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -21,7 +20,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..api import Ring
 from ..ops import fourstep, ntt_kernel, xla_ntt
-from ..ops import stage_tables as st
 from . import fourstep_shard, stage_shard
 
 
@@ -73,6 +71,11 @@ class ShardedRing:
         sp_axis: Optional[str] = None,
         sp_method: Optional[str] = None,
     ):
+        if not isinstance(ring, Ring):
+            raise TypeError(
+                f"ShardedRing wraps a (negacyclic) Ring; got {type(ring).__name__}. "
+                "Sharded CyclicRing support is not implemented."
+            )
         self.ring = ring
         self.mesh = mesh
         self.dp_axis = dp_axis

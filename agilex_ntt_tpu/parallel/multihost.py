@@ -29,14 +29,41 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    *,
+    force: bool = False,
 ) -> None:
     """Initialize the JAX distributed runtime (no-op for single-process).
 
     On Cloud TPU pods the three arguments are auto-detected from the
     environment; pass them explicitly only for manual bring-up.  Must run
-    before any other JAX call on every host.
+    before any other JAX call on every host.  With no arguments and no
+    cluster environment detected this is a no-op (calling
+    jax.distributed.initialize on a lone dev box would error or hang
+    waiting for a coordinator); pass force=True to attempt auto-detection
+    anyway.
     """
+    import os
+
     if num_processes is not None and num_processes <= 1:
+        return
+    cluster_env = any(
+        os.environ.get(v)
+        for v in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE",
+        )
+    ) or len(
+        # single-host TPU VMs also set this (e.g. "localhost"); only a
+        # multi-entry list is evidence of a pod slice
+        [h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    ) > 1
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and not cluster_env
+        and not force
+    ):
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -57,8 +84,10 @@ def pod_mesh(dp: int = 1, sp: int = 1) -> Mesh:
         raise ValueError(
             f"mesh dp*sp = {dp * sp} must equal global device count {len(devs)}"
         )
-    arr = np.array(devs).reshape(dp, sp)
-    return Mesh(arr, ("dp", "sp"))
+    # topology-aware: jax.make_mesh orders devices along physical ICI axes
+    # (a raw reshape of jax.devices() would be enumeration-order and could
+    # put sp "neighbors" on different hosts)
+    return jax.make_mesh((dp, sp), ("dp", "sp"))
 
 
 def process_local_batch(global_batch: int) -> slice:

@@ -34,9 +34,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..params import NTTParams
 from ..ops import stage_tables as st
@@ -136,6 +135,22 @@ def _specs(dp_axis: Optional[str], sp_axis: str):
     return (x_spec, tab_spec, tab_spec, tab_spec), x_spec
 
 
+# device-resident stage tables, cached per params: passing fresh
+# jnp.asarray(numpy) arguments to the cached jitted fn would re-upload
+# 3*log2(n)*n*4 bytes host->device on every call (measured ~300x per-call
+# argument overhead vs a cached device array)
+@functools.lru_cache(maxsize=256)
+def _dev_fwd_tabs(params):
+    t = st.fwd_stage_tables(params)
+    return jnp.asarray(t.w), jnp.asarray(t.p0), jnp.asarray(t.p1)
+
+
+@functools.lru_cache(maxsize=256)
+def _dev_inv_tabs(params):
+    t = st.inv_stage_tables(params)
+    return jnp.asarray(t.w), jnp.asarray(t.p0), jnp.asarray(t.p1)
+
+
 # jitted shard_map wrappers are cached: rebuilding jax.jit(...) per call would
 # retrace and recompile every invocation (Mesh, NTTParams and all remaining
 # keys are hashable; params is interned by make_params's lru_cache).
@@ -194,9 +209,9 @@ def stage_sharded_fwd(
         raise ValueError(
             f"n={params.n} must give lane-aligned shards over {num_devices} devices"
         )
-    tabs = st.fwd_stage_tables(params)
+    w, p0, p1 = _dev_fwd_tabs(params)
     fn = _fwd_fn(params, mesh, axis, dp_axis, use_pallas, interpret, block_rows)
-    return fn(x, jnp.asarray(tabs.w), jnp.asarray(tabs.p0), jnp.asarray(tabs.p1))
+    return fn(x, w, p0, p1)
 
 
 def stage_sharded_inv(
@@ -221,9 +236,9 @@ def stage_sharded_inv(
     if scale is None:
         scale = params.n_inv
     scale_precon = (scale << 32) // params.q
-    tabs = st.inv_stage_tables(params)
+    w, p0, p1 = _dev_inv_tabs(params)
     fn = _inv_fn(
         params, mesh, axis, dp_axis, scale, scale_precon, use_pallas,
         interpret, block_rows,
     )
-    return fn(x, jnp.asarray(tabs.w), jnp.asarray(tabs.p0), jnp.asarray(tabs.p1))
+    return fn(x, w, p0, p1)

@@ -39,10 +39,18 @@ def dump_hlo(fn: Callable, *args, **kwargs) -> str:
     return jax.jit(fn).lower(*args, **kwargs).compile().as_text()
 
 
-def device_time(fn: Callable, x: jnp.ndarray, iters: int = 10) -> float:
+def device_time(
+    fn: Callable, x: jnp.ndarray, iters: int = 10, trials: int = 3
+) -> float:
     """Seconds per call of y = fn(y) on device, excluding constant dispatch
     and sync overhead (delta method: time k chained calls minus one call;
-    each call's input depends on the previous output so nothing overlaps)."""
+    each call's input depends on the previous output so nothing overlaps).
+
+    Tunnel stalls are one-sided noise, so the baseline and the chained
+    measurement are min-reduced SEPARATELY before subtracting — subtracting
+    a single (possibly stalled) baseline sample from a clean chained sample
+    would overestimate throughput, sometimes past the hardware ceiling.
+    """
 
     def run(k):
         v = x
@@ -52,10 +60,15 @@ def device_time(fn: Callable, x: jnp.ndarray, iters: int = 10) -> float:
         return int(jnp.sum(v.ravel()[0]).astype(jnp.uint32) % jnp.uint32(97))
 
     run(1)  # warm / compile
-    t0 = time.perf_counter()
-    run(1)
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(1 + iters)
-    t_many = time.perf_counter() - t0
+
+    def sample(k):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run(k)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_one = sample(1)
+    t_many = sample(1 + iters)
     return max((t_many - t_one) / iters, 1e-9)

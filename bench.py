@@ -53,18 +53,21 @@ def main():
         return int(jnp.sum(y[0]) % jnp.uint32(97))
 
     run(1)  # compile + warm
-    # best of 3 delta measurements: dispatch through the TPU tunnel adds
-    # one-sided noise (stalls only ever make a sample slower), so the min
-    # per-call time is the honest sustained-throughput estimate
-    per_call = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run(1)
-        t_one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run(1 + iters)
-        t_many = time.perf_counter() - t0
-        per_call = min(per_call, max((t_many - t_one) / iters, 1e-9))
+    # tunnel stalls are one-sided noise: min-reduce the baseline and the
+    # chained measurement SEPARATELY before subtracting (subtracting one
+    # stalled baseline sample from a clean chained sample would overstate
+    # throughput, sometimes past the hardware ceiling)
+    def sample(k, trials=3):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run(k)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_one = sample(1)
+    t_many = sample(1 + iters)
+    per_call = max((t_many - t_one) / iters, 1e-9)
 
     ntts_per_sec = B / per_call
     out = {

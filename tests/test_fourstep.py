@@ -146,6 +146,39 @@ def test_fused_col_pass_interpret_bit_exact(rng):
     assert (back == x).all()
 
 
+def test_col_pass_two_kernel_path_bit_exact(rng, monkeypatch):
+    """The two-kernel fused column path (_col_pass_fwd/_col_pass_inv) only
+    activates above the full-fuse matrix cap; force it at a testable size so
+    its ~130 lines of kernel code stay inside the bit-exact suite."""
+    import agilex_ntt_tpu.ops.fourstep as fs
+
+    monkeypatch.setattr(fs, "_FULL_FUSE_BYTES", 0)
+    n = 65536
+    # second prime: a distinct plan object, so the jit cache (keyed on the
+    # plan) cannot serve the full-fuse trace compiled by the sibling test
+    params = params_for(n, 1)
+    plan = make_plan(n, params.q, params.psi)
+    x = rng.integers(0, params.q, size=(2, n), dtype=np.uint32)
+    got = np.asarray(
+        fwd_ntt_fourstep(jnp.asarray(x), plan, backend="pallas", interpret=True)
+    )
+    want = G.fwd_ntt_u64(x, params).astype(np.uint32)
+    assert (got == want).all()
+    back = np.asarray(
+        inv_ntt_fourstep(jnp.asarray(got), plan, backend="pallas", interpret=True)
+    )
+    assert (back == x).all()
+
+
+def test_plan_rejects_oversized_and_composite_q():
+    from agilex_ntt_tpu.ops.fourstep import make_cyclic_plan
+
+    with pytest.raises(ValueError, match="2\\*\\*30"):
+        make_plan(256, q=2147483137)
+    with pytest.raises(ValueError, match="not prime"):
+        make_cyclic_plan(256, q=257 * 769, omega=2)
+
+
 def test_ring_auto_selects_fourstep(rng):
     r = Ring(1 << 16)
     assert r.method == "fourstep"
