@@ -35,15 +35,20 @@ N = 8192
 CHAIN = 64
 
 
-def _delta_time(run, iters):
+def _delta_time(run, iters, trials=3):
+    """Debiased delta method: min-reduce baseline and chained samples
+    separately (see utils/profiling.device_time)."""
     run(1)
-    t0 = time.perf_counter()
-    run(1)
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(1 + iters)
-    t_many = time.perf_counter() - t0
-    return max((t_many - t_one) / iters, 1e-9)
+
+    def sample(k):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run(k)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((sample(1 + iters) - sample(1)) / iters, 1e-9)
 
 
 def main():
