@@ -227,7 +227,7 @@ def _col_pass_fwd(x3, plan, *, interpret):
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -265,7 +265,7 @@ def _col_pass_inv(x3, plan, *, col_scale, interpret):
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -364,7 +364,7 @@ def _full_pass_fwd(x3, plan, *, interpret):
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -396,7 +396,7 @@ def _full_pass_inv(x3, plan, *, col_scale, interpret):
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, n1, n2), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,

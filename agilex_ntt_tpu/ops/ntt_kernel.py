@@ -130,7 +130,7 @@ def _call(kernel, x, w, p0, p1, *, block_rows, interpret, num_stages):
         ),
         out_shape=jax.ShapeDtypeStruct((batch, width), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             # The unrolled stage chain keeps several block-sized temporaries
             # live; the default 16 MiB scoped-vmem budget is too tight for
             # large (block_rows x n) tiles.  v5e has 128 MiB of VMEM.
@@ -240,7 +240,7 @@ def polymul_fused(
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((batch, width), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
