@@ -109,18 +109,35 @@ def _specs(dp_axis: Optional[str], sp_axis: str):
             P(None, sp_axis)), P(dp_axis, sp_axis)
 
 
+from .stage_shard import _under_trace  # noqa: E402
+
+
 # device-resident scale tables, cached per plan: fresh jnp.asarray(numpy)
-# arguments would re-upload the (n1, n2) tables host->device every call
+# arguments would re-upload the (n1, n2) tables host->device every call.
+# Under an enclosing trace return numpy (constants of that trace) so no
+# tracer is ever cached — see stage_shard._under_trace.
 @functools.lru_cache(maxsize=256)
-def _dev_fwd_scale(plan):
+def _dev_fwd_scale_cached(plan):
     return jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1)
 
 
+def _dev_fwd_scale(plan):
+    if _under_trace():
+        return plan.tw, plan.tp0, plan.tp1
+    return _dev_fwd_scale_cached(plan)
+
+
 @functools.lru_cache(maxsize=256)
-def _dev_inv_scale(plan):
+def _dev_inv_scale_cached(plan):
     return (
         jnp.asarray(plan.itw), jnp.asarray(plan.itp0), jnp.asarray(plan.itp1)
     )
+
+
+def _dev_inv_scale(plan):
+    if _under_trace():
+        return plan.itw, plan.itp0, plan.itp1
+    return _dev_inv_scale_cached(plan)
 
 
 # cached jitted shard_map wrappers (plan/Mesh are hashable; rebuilding

@@ -135,20 +135,43 @@ def _specs(dp_axis: Optional[str], sp_axis: str):
     return (x_spec, tab_spec, tab_spec, tab_spec), x_spec
 
 
+def _under_trace() -> bool:
+    """True when called inside an enclosing jax trace (a jnp op then yields
+    a Tracer).  Device arrays created under a trace must NOT be cached —
+    they would leak tracers into later eager calls."""
+    return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+
+
 # device-resident stage tables, cached per params: passing fresh
 # jnp.asarray(numpy) arguments to the cached jitted fn would re-upload
 # 3*log2(n)*n*4 bytes host->device on every call (measured ~300x per-call
-# argument overhead vs a cached device array)
+# argument overhead vs a cached device array).  Under an enclosing trace
+# (e.g. ShardedRing.polymul's fused jit) return the numpy tables instead:
+# they become constants of that trace and nothing tracer-tainted is cached.
 @functools.lru_cache(maxsize=256)
-def _dev_fwd_tabs(params):
+def _dev_fwd_tabs_cached(params):
     t = st.fwd_stage_tables(params)
     return jnp.asarray(t.w), jnp.asarray(t.p0), jnp.asarray(t.p1)
 
 
+def _dev_fwd_tabs(params):
+    if _under_trace():
+        t = st.fwd_stage_tables(params)
+        return t.w, t.p0, t.p1
+    return _dev_fwd_tabs_cached(params)
+
+
 @functools.lru_cache(maxsize=256)
-def _dev_inv_tabs(params):
+def _dev_inv_tabs_cached(params):
     t = st.inv_stage_tables(params)
     return jnp.asarray(t.w), jnp.asarray(t.p0), jnp.asarray(t.p1)
+
+
+def _dev_inv_tabs(params):
+    if _under_trace():
+        t = st.inv_stage_tables(params)
+        return t.w, t.p0, t.p1
+    return _dev_inv_tabs_cached(params)
 
 
 # jitted shard_map wrappers are cached: rebuilding jax.jit(...) per call would
