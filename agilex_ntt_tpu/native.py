@@ -60,26 +60,39 @@ def available() -> bool:
     return _load() is not None
 
 
+def _req() -> ctypes.CDLL:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native core not built — run `make native` (builds "
+            "build/libnttcore.so from csrc/nttcore.c)"
+        )
+    return lib
+
+
 def is_prime(n: int) -> bool:
-    return bool(_load().ntt_is_prime(n))
+    return bool(_req().ntt_is_prime(n))
 
 
 def find_primes(n: int, count: int, bits: int = 30) -> np.ndarray:
     out = np.zeros(count, dtype=np.uint64)
-    got = _load().ntt_find_primes(n, count, bits, out)
+    got = _req().ntt_find_primes(n, count, bits, out)
     if got < count:
         raise ValueError(f"found only {got}/{count} primes")
     return out
 
 
 def find_psi(n: int, q: int) -> int:
-    return int(_load().ntt_find_psi(n, q))
+    psi = int(_req().ntt_find_psi(n, q))
+    if psi == 0:
+        raise ValueError(f"no primitive 2n-th root: is q prime with q % (2*{n}) == 1?")
+    return psi
 
 
 def make_tables(n: int, q: int, psi: int):
     roots = np.zeros(n, dtype=np.uint64)
     precons = np.zeros(n, dtype=np.uint64)
-    _load().ntt_make_tables(n, q, psi, roots, precons)
+    _req().ntt_make_tables(n, q, psi, roots, precons)
     return roots, precons
 
 
@@ -87,7 +100,7 @@ def fwd_ntt(x: np.ndarray, q: int, roots: np.ndarray, precons: np.ndarray):
     """Forward NTT of (batch, n) uint64, returns a new array in [0, q)."""
     a = np.ascontiguousarray(x, dtype=np.uint64).copy()
     batch, n = (1, a.shape[0]) if a.ndim == 1 else a.shape
-    _load().ntt_fwd_u64(a.reshape(-1), batch, n, q, roots, precons)
+    _req().ntt_fwd_u64(a.reshape(-1), batch, n, q, roots, precons)
     return a
 
 
@@ -95,7 +108,7 @@ def inv_ntt(x: np.ndarray, q: int, iroots: np.ndarray, iprecons: np.ndarray,
             scale: int = 0):
     a = np.ascontiguousarray(x, dtype=np.uint64).copy()
     batch, n = (1, a.shape[0]) if a.ndim == 1 else a.shape
-    _load().ntt_inv_u64(a.reshape(-1), batch, n, q, iroots, iprecons, scale)
+    _req().ntt_inv_u64(a.reshape(-1), batch, n, q, iroots, iprecons, scale)
     return a
 
 
@@ -103,5 +116,5 @@ def pointwise(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
     a = np.ascontiguousarray(a, dtype=np.uint64)
     b = np.ascontiguousarray(b, dtype=np.uint64)
     c = np.zeros_like(a)
-    _load().ntt_pointwise_u64(a.reshape(-1), b.reshape(-1), c.reshape(-1), a.size, q)
+    _req().ntt_pointwise_u64(a.reshape(-1), b.reshape(-1), c.reshape(-1), a.size, q)
     return c

@@ -98,17 +98,18 @@ def _pick_block_rows(batch: int, width: int, requested: Optional[int]) -> int:
         # many rows per block or per-step DMA overhead dominates (measured
         # 1.4x at width 256); wide transforms bottom out at 64 rows
         requested = min(512, max(DEFAULT_BLOCK_ROWS, (1 << 20) // (4 * width)))
+    # snap to the largest divisor of batch <= requested (halving could
+    # collapse a non-dividing request like 48@batch=64 all the way to
+    # 1-row blocks)
     b = min(requested, batch)
-    while b > 1 and batch % b != 0:
-        b //= 2
+    while batch % b:
+        b -= 1
     return b
 
 
 def _call(kernel, x, w, p0, p1, *, block_rows, interpret, num_stages):
     batch, width = x.shape
     block_rows = _pick_block_rows(batch, width, block_rows)
-    if batch % block_rows:
-        raise ValueError(f"batch {batch} not a multiple of block_rows {block_rows}")
     grid = (batch // block_rows,)
     tab_spec = pl.BlockSpec(
         (num_stages, width), lambda i: (0, 0), memory_space=pltpu.VMEM

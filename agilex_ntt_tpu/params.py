@@ -165,20 +165,28 @@ class NTTParams:
         return log2_exact(self.n)
 
 
-@functools.lru_cache(maxsize=64)
 def make_params(n: int, q: int, psi: Optional[int] = None) -> NTTParams:
     """Generate all tables for (n, q). Cached: table gen is host-side setup,
     the analog of the reference host filling twiddle buffers (main.cpp:42-56,
-    done right: real roots instead of the reference's dummy ``i+2`` data)."""
+    done right: real roots instead of the reference's dummy ``i+2`` data).
+
+    psi is resolved BEFORE the cached builder so make_params(n, q) and
+    make_params(n, q, found_psi) intern the same NTTParams instead of
+    building the O(n)-bignum table set twice.
+    """
     if q % (2 * n) != 1:
         raise ValueError(f"q ≡ 1 (mod 2n) required: q={q} n={n}")
     if not is_prime(q):
         raise ValueError(f"q={q} is not prime")
     if psi is None:
         psi = find_psi(n, q)
-    else:
-        if pow(psi, n, q) != q - 1:
-            raise ValueError("provided psi is not a primitive 2n-th root")
+    elif pow(psi, n, q) != q - 1:
+        raise ValueError("provided psi is not a primitive 2n-th root")
+    return _make_params_cached(n, q, psi)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_params_cached(n: int, q: int, psi: int) -> NTTParams:
     logn = log2_exact(n)
 
     roots_py = [pow(psi, bit_reverse(i, logn), q) for i in range(n)]

@@ -115,7 +115,12 @@ u64 ntt_find_psi(u64 n, u64 q) {
         }
         if (ok) break;
     }
-    return powmod_u64(g, phi / (2 * n), q);
+    u64 psi = powmod_u64(g, phi / (2 * n), q);
+    /* reject invalid parameters (q not prime, or 2n does not divide q-1):
+     * psi must satisfy psi^n == -1 or every downstream table is garbage —
+     * the dummy-twiddle failure mode of the reference driver */
+    if (powmod_u64(psi, n, q) != q - 1) return 0;
+    return psi;
 }
 
 /* roots[i] = psi^bitrev(i, log2 n); precons[i] = floor(roots[i] * 2^64 / q).

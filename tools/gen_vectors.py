@@ -41,8 +41,7 @@ def main():
         q = find_primes(n, 1)[0]
         pp = make_params(n, q)
         x = rng.integers(0, q, size=n, dtype=np.uint64)
-        y = native.fwd_ntt(x, q, pp.roots, pp.precon64)[0] if x.ndim == 2 else \
-            native.fwd_ntt(x[None, :], q, pp.roots, pp.precon64)[0]
+        y = native.fwd_ntt(x[None, :], q, pp.roots, pp.precon64)[0]
 
         # certify against the independent big-int oracle
         if n in ORACLE_FULL:

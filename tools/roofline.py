@@ -17,7 +17,6 @@ Prints one JSON line per metric (same shape as bench.py).
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +26,7 @@ sys.path.insert(0, ".")  # repo root
 from agilex_ntt_tpu.params import find_primes, make_params  # noqa: E402
 from agilex_ntt_tpu.ops import ntt_kernel, xla_ntt  # noqa: E402
 from agilex_ntt_tpu.ops.modmul import shoup_mulmod_lazy_presplit, cond_sub  # noqa: E402
+from agilex_ntt_tpu.utils.profiling import device_time  # noqa: E402
 
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
@@ -35,20 +35,6 @@ N = 8192
 CHAIN = 64
 
 
-def _delta_time(run, iters, trials=3):
-    """Debiased delta method: min-reduce baseline and chained samples
-    separately (see utils/profiling.device_time)."""
-    run(1)
-
-    def sample(k):
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            run(k)
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    return max((sample(1 + iters) - sample(1)) / iters, 1e-9)
 
 
 def main():
@@ -113,18 +99,12 @@ def main():
             ),
             out_shape=jax.ShapeDtypeStruct((B, N), jnp.uint32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=("parallel",),
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
         )(v)
 
-    def run_sol(k):
-        v = x
-        for _ in range(k):
-            v = mulmod_chain(v)
-        return int(jnp.sum(v[0]) % jnp.uint32(97))
-
-    per_call = _delta_time(run_sol, iters)
+    per_call = device_time(mulmod_chain, x, iters=iters)
     sol_rate = CHAIN * B * N / per_call  # mulmods/s (each with a cond_sub)
 
     step = (
@@ -133,13 +113,7 @@ def main():
         else (lambda v: xla_ntt.fwd_ntt_xla(v, params))
     )
 
-    def run_ntt(k):
-        v = x
-        for _ in range(k):
-            v = step(v)
-        return int(jnp.sum(v[0]) % jnp.uint32(97))
-
-    per_ntt_call = _delta_time(run_ntt, iters)
+    per_ntt_call = device_time(step, x, iters=iters)
     ntts = B / per_ntt_call
     logn = N.bit_length() - 1
     positional = ntts * N * logn
@@ -151,7 +125,6 @@ def main():
     # than a homogeneous op chain), so the ceiling is the max of both and
     # the capped utilization reads 1.0 — the kernel is the fastest uint32
     # modmul code we can construct on the machine.
-    sol = max(sol_rate, positional)
     raw = positional / sol_rate
     util = min(1.0, raw)
     print(json.dumps({

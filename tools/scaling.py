@@ -22,22 +22,26 @@ import sys
 WORKER = r"""
 import json, sys, time
 import jax
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", int(sys.argv[1]))
+P = int(sys.argv[1])
+virtual = sys.argv[6] == "virtual"
+if virtual:
+    # not enough real devices: emulate P devices on the host CPU
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", P)
 import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
 from agilex_ntt_tpu import Ring
 from agilex_ntt_tpu.parallel import ShardedRing, dp_shard_batch, make_mesh
+from agilex_ntt_tpu.utils.profiling import device_time
 
-P = int(sys.argv[1])
 n = int(sys.argv[2])
 per_dev_batch = int(sys.argv[3])
 iters = int(sys.argv[4])
 mode = sys.argv[5]  # dp | sp
 
-ring = Ring(n, backend="xla")
+ring = Ring(n, backend="xla" if virtual else None)
 B = per_dev_batch * (P if mode == "dp" else 1)
 x = jnp.asarray(
     np.random.default_rng(0).integers(0, ring.q, size=(B, n), dtype=np.uint32)
@@ -54,26 +58,19 @@ else:
     x = sr.shard(x)
     step = sr.ntt
 
-def run(k):
-    v = x
-    for _ in range(k):
-        v = step(v)
-    return int(jnp.sum(v[0]) % jnp.uint32(97))
-
-run(1)
-t0 = time.perf_counter(); run(1); t1 = time.perf_counter() - t0
-t0 = time.perf_counter(); run(1 + iters); tm = time.perf_counter() - t0
-per_call = max((tm - t1) / iters, 1e-9)
+# debiased delta timing shared with the rest of the tooling
+per_call = device_time(step, x, iters=iters)
 print(json.dumps({"P": P, "ntts_per_s": B / per_call}))
 """
 
 
-def run_mesh(p: int, n: int, per_dev_batch: int, iters: int, mode: str):
+def run_mesh(p: int, n: int, per_dev_batch: int, iters: int, mode: str,
+             virtual: bool):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(p), str(n), str(per_dev_batch),
-         str(iters), mode],
+         str(iters), mode, "virtual" if virtual else "real"],
         capture_output=True, text=True, env=env, timeout=900,
     )
     if out.returncode != 0:
@@ -87,10 +84,17 @@ def main():
     per_dev_batch = 64
     iters = 4
     sizes = [1, 2, 4, 8]
+    # workers measure on real devices only when the host actually has them;
+    # otherwise they emulate on host CPU and the summary says so
+    import jax
+
+    virtual = not (
+        jax.devices()[0].platform == "tpu" and len(jax.devices()) >= sizes[-1]
+    )
     base = None
     results = []
     for p in sizes:
-        r = run_mesh(p, n, per_dev_batch, iters, mode)
+        r = run_mesh(p, n, per_dev_batch, iters, mode, virtual)
         rate = r["ntts_per_s"]
         if p == 1:
             base = rate
@@ -104,9 +108,6 @@ def main():
             "vs_baseline": round(eff, 3),
         }))
     final = results[-1]
-    import jax
-
-    virtual = jax.devices()[0].platform != "tpu" or len(jax.devices()) < sizes[-1]
     print(json.dumps({
         "metric": (
             f"{mode} scaling efficiency at P={final[0]} (target >= 0.85 dp"
