@@ -9,6 +9,6 @@ halves over ICI (the SP/CP analog).
 """
 
 from .fourstep_shard import fourstep_sharded_fwd, fourstep_sharded_inv
-from .mesh import ShardedRing, dp_shard_batch, make_mesh
+from .mesh import ShardedRing, ShardedRNSRing, dp_shard_batch, make_mesh
 from .multihost import init_distributed, pod_mesh, process_local_batch
 from .stage_shard import stage_sharded_fwd, stage_sharded_inv

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..api import Ring
+from ..api import Ring, RNSRing
 from ..ops import fourstep, ntt_kernel, xla_ntt
 from . import fourstep_shard, stage_shard
 
@@ -211,3 +211,74 @@ class ShardedRing:
             fn = jax.jit(f)
             self._dp_cache["polymul"] = fn
         return fn(a, b)
+
+
+class ShardedRNSRing:
+    """An RNSRing distributed over a device mesh: L prime channels, each
+    batch- and/or coefficient-sharded like ShardedRing, with all channels
+    traced into one jitted computation per op (single dispatch).
+
+    The production FHE deployment shape: residues (L, B, n) with B sharded
+    over dp and, for large n, coefficients over sp.  Bit-identical to the
+    single-chip RNSRing.
+    """
+
+    def __init__(
+        self,
+        rns: RNSRing,
+        mesh: Mesh,
+        *,
+        dp_axis: Optional[str] = "dp",
+        sp_axis: Optional[str] = None,
+        sp_method: Optional[str] = None,
+    ):
+        self.rns = rns
+        self.mesh = mesh
+        self.dp_axis = dp_axis
+        self.sp_axis = sp_axis
+        self.srs = [
+            ShardedRing(
+                r, mesh, dp_axis=dp_axis, sp_axis=sp_axis, sp_method=sp_method
+            )
+            for r in rns.rings
+        ]
+        self._jit_cache = {}
+
+    @property
+    def L(self) -> int:
+        return len(self.srs)
+
+    def shard(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Place (L, B, n) residues: channels replicated-indexed, batch over
+        dp, coefficients over sp."""
+        spec = P(None, self.dp_axis, self.sp_axis)
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def _stacked(self, name: str, per_channel):
+        fn = self._jit_cache.get(name)
+        if fn is None:
+            srs = self.srs
+
+            def f(*arrs):
+                return jnp.stack(
+                    [
+                        per_channel(sr, *(a[i] for a in arrs))
+                        for i, sr in enumerate(srs)
+                    ],
+                    axis=0,
+                )
+
+            fn = jax.jit(f)
+            self._jit_cache[name] = fn
+        return fn
+
+    def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._stacked("ntt", lambda sr, xi: sr.ntt(xi))(x)
+
+    def intt(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._stacked("intt", lambda sr, xi: sr.intt(xi))(x)
+
+    def polymul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._stacked(
+            "polymul", lambda sr, ai, bi: sr.polymul(ai, bi)
+        )(a, b)

@@ -108,3 +108,26 @@ def test_fourstep_sharded_rejects_bad_split(devices8):
     x = np.zeros((2, n), dtype=np.uint32)
     with pytest.raises(ValueError):
         fourstep_sharded_fwd(x, plan, mesh, axis="sp", backend="xla")
+
+
+def test_sharded_rns_ring(devices8, rng):
+    """ShardedRNSRing: L channels, dp x sp mesh, one dispatch per op,
+    bit-identical to per-channel single-chip golden."""
+    from agilex_ntt_tpu import RNSRing
+    from agilex_ntt_tpu.parallel import ShardedRNSRing
+
+    n = 1024
+    rns = RNSRing(n, num_primes=2, backend="xla")
+    mesh = make_mesh(dp=2, sp=4)
+    srns = ShardedRNSRing(rns, mesh, dp_axis="dp", sp_axis="sp",
+                          sp_method="fourstep")
+    a = np.stack([rng.integers(0, q, size=(4, n), dtype=np.uint32) for q in rns.qs])
+    b = np.stack([rng.integers(0, q, size=(4, n), dtype=np.uint32) for q in rns.qs])
+    got = np.asarray(srns.polymul(srns.shard(a), srns.shard(b)))
+    for i, r in enumerate(rns.rings):
+        fa = G.fwd_ntt_u32(a[i], r.params)
+        fb = G.fwd_ntt_u32(b[i], r.params)
+        pw = ((fa.astype(np.uint64) * fb.astype(np.uint64)) % np.uint64(r.q)).astype(np.uint32)
+        assert (got[i] == G.inv_ntt_u32(pw, r.params)).all(), i
+    back = np.asarray(srns.intt(srns.ntt(srns.shard(a))))
+    assert (back == a).all()
