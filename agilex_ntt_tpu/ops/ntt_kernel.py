@@ -114,7 +114,6 @@ def _call(kernel, x, w, p0, p1, *, block_rows, interpret, num_stages):
     tab_spec = pl.BlockSpec(
         (num_stages, width), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
-    flops_per_elem = 25 * num_stages
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -137,11 +136,8 @@ def _call(kernel, x, w, p0, p1, *, block_rows, interpret, num_stages):
             # large (block_rows x n) tiles.  v5e has 128 MiB of VMEM.
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_elem * batch * width,
-            bytes_accessed=2 * 4 * batch * width + 3 * 4 * num_stages * width,
-            transcendentals=0,
-        ),
+        # no cost_estimate: the hint measured ~3% SLOWER than letting the
+        # compiler derive its own schedule (A/B on v5e)
         interpret=interpret,
     )(x, w, p0, p1)
 
@@ -243,11 +239,6 @@ def polymul_fused(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=3 * 25 * logn * batch * width,
-            bytes_accessed=3 * 4 * batch * width,
-            transcendentals=0,
         ),
         interpret=interpret,
     )(
