@@ -121,10 +121,15 @@ def fwd_stage_step(x, partner, mask_u, w, p0, p1, *, q: int, last: bool):
 
 
 def inv_stage_step(x, partner, mask_u, w, p0, p1, *, q: int):
-    """One inverse (Gentleman-Sande) stage. x, partner in [0, 2q); out too."""
+    """One inverse (Gentleman-Sande) stage. x, partner in [0, 2q); out too.
+
+    d is only consumed at v slots (u slots take ssum), so it is computed
+    in the v orientation everywhere — no select; the u-slot garbage value
+    is discarded by the final where.
+    """
     two_q = U32(2 * q)
     ssum = cond_sub(x + partner, two_q)
-    d = jnp.where(mask_u, x - partner, partner - x) + two_q
+    d = partner - x + two_q  # v slots: u-value minus v-value
     hi = mulhi_u32_presplit(d, p0, p1)
     Q = w * d - hi * U32(q)
     return jnp.where(mask_u, ssum, Q)
