@@ -423,7 +423,17 @@ class Ring:
         lazy inputs up to 4q (fwd) / 2q (inv) and silently wrap beyond —
         the failure-detection aid the reference lacks entirely (its driver
         feeds invalid twiddles without noticing, main.cpp:49-55).
+
+        Eager-only: it reads the violation count back to the host to raise.
         """
+        from .utils.profiling import under_trace
+
+        if under_trace():
+            raise RuntimeError(
+                "Ring.check is eager-only (it reads a violation count back "
+                "to the host); call it outside jit/vmap, or validate with "
+                "jnp.all(x < bound) inside the traced computation"
+            )
         x = _as_u32(x)
         b = self.q if bound is None else bound
         bad = int(jnp.sum(x >= U32(b)))

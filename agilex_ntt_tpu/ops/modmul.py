@@ -64,7 +64,12 @@ def mulhi_u32_presplit(a: jnp.ndarray, b0: jnp.ndarray, b1: jnp.ndarray):
 
 
 def cond_sub(x: jnp.ndarray, bound) -> jnp.ndarray:
-    """x - bound if x >= bound else x (lazy reduction step, ntt.cpp:331-332)."""
+    """x - bound if x >= bound else x (lazy reduction step, ntt.cpp:331-332).
+
+    Stays the compare+subtract+select form: the 2-op unsigned-min identity
+    min(x, x - bound) does NOT compile — Mosaic cannot legalize vector
+    ``arith.minui`` on v5e (tried 2026-08-16, round 2).
+    """
     b = u32(bound)
     return jnp.where(x >= b, x - b, x)
 

@@ -31,6 +31,7 @@ Arithmetic is the Harvey lazy butterfly in uint32 words (q < 2**30, values in
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional
 
 import jax
@@ -93,7 +94,8 @@ def _inv_kernel(
 
 
 def _pick_block_rows(batch: int, width: int, requested: Optional[int]) -> int:
-    if requested is None:
+    explicit = requested is not None
+    if not explicit:
         # target ~2 MiB grid blocks: narrow widths (four-step passes) need
         # many rows per block or per-step DMA overhead dominates (measured
         # 1.4x at width 256); wide transforms bottom out at 64 rows
@@ -104,6 +106,15 @@ def _pick_block_rows(batch: int, width: int, requested: Optional[int]) -> int:
     b = min(requested, batch)
     while batch % b:
         b -= 1
+    if explicit and b != requested:
+        # silent snapping is fine for the auto-picked default, but a
+        # user-supplied tuning value being quietly replaced hides the
+        # mis-tune (e.g. 48@batch=64 -> 32)
+        warnings.warn(
+            f"block_rows={requested} does not divide batch={batch}; "
+            f"using {b}",
+            stacklevel=3,
+        )
     return b
 
 

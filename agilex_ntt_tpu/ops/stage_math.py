@@ -41,6 +41,10 @@ def partner_via_roll(
     Replaces the reference's five stride-specialized shuffle networks
     (ntt.cpp:207-289, 398-479) with two rotates + a select; rotated-in
     wraparound values land only at slots where they are never selected.
+
+    The stage chains below no longer call this: they consume the two rolled
+    copies directly (each is only read at the slots where it equals the
+    partner), which saves the select.  Kept for tests/diagnostics.
     """
     fwd = roll(x, -t, 1)  # brings x[j + t] to slot j
     bwd = roll(x, t, 1)   # brings x[j - t] to slot j
@@ -108,10 +112,33 @@ def fwd_stage_step(x, partner, mask_u, w, p0, p1, *, q: int, last: bool):
     x, partner: uint32 in [0, 4q).  w/p0/p1: positional twiddle + pre-split
     Shoup precon (identical at both slots of a pair).  Returns values in
     [0, 4q), or [0, q) when `last` (final correction, ntt.cpp:377-394).
+    Used by the cross-device stages (parallel/stage_shard.py), where the
+    partner arrives as one ppermuted shard; the local chains use
+    ``fwd_stage_step_rolls``.
     """
     two_q = U32(2 * q)
     tx = cond_sub(jnp.where(mask_u, x, partner), two_q)
     ay = jnp.where(mask_u, partner, x)
+    hi = mulhi_u32_presplit(ay, p0, p1)
+    Q = w * ay - hi * U32(q)
+    out = jnp.where(mask_u, tx + Q, tx + two_q - Q)
+    if last:
+        out = cond_sub(cond_sub(out, two_q), U32(q))
+    return out
+
+
+def fwd_stage_step_rolls(x, fwd, bwd, mask_u, w, p0, p1, *, q: int, last: bool):
+    """Forward stage consuming the two rolled copies directly.
+
+    fwd[j] = x[j+t], bwd[j] = x[j-t].  The pair's u-value at slot j is x (u
+    slots) / bwd (v slots); its v-value is fwd (u slots) / x (v slots) — so
+    selecting between x and ONE rolled copy yields each operand and the
+    explicit partner select of ``partner_via_roll`` is redundant (one fewer
+    vselect per element per stage; measured on v5e, see BASELINE.md).
+    """
+    two_q = U32(2 * q)
+    tx = cond_sub(jnp.where(mask_u, x, bwd), two_q)   # the pair's u-value
+    ay = jnp.where(mask_u, fwd, x)                     # the pair's v-value
     hi = mulhi_u32_presplit(ay, p0, p1)
     Q = w * ay - hi * U32(q)
     out = jnp.where(mask_u, tx + Q, tx + two_q - Q)
@@ -125,11 +152,24 @@ def inv_stage_step(x, partner, mask_u, w, p0, p1, *, q: int):
 
     d is only consumed at v slots (u slots take ssum), so it is computed
     in the v orientation everywhere — no select; the u-slot garbage value
-    is discarded by the final where.
+    is discarded by the final where.  Used by the cross-device stages; the
+    local chains use ``inv_stage_step_rolls``.
     """
     two_q = U32(2 * q)
     ssum = cond_sub(x + partner, two_q)
     d = partner - x + two_q  # v slots: u-value minus v-value
+    hi = mulhi_u32_presplit(d, p0, p1)
+    Q = w * d - hi * U32(q)
+    return jnp.where(mask_u, ssum, Q)
+
+
+def inv_stage_step_rolls(x, fwd, bwd, mask_u, w, p0, p1, *, q: int):
+    """Inverse stage consuming the two rolled copies directly (no partner
+    select): ssum is only read at u slots where the partner is fwd; d only
+    at v slots where the partner is bwd."""
+    two_q = U32(2 * q)
+    ssum = cond_sub(x + fwd, two_q)
+    d = bwd - x + two_q  # v slots: u-value minus v-value
     hi = mulhi_u32_presplit(d, p0, p1)
     Q = w * d - hi * U32(q)
     return jnp.where(mask_u, ssum, Q)
@@ -144,6 +184,13 @@ def inv_stage_step_final(x, partner, mask_u, w, p0, p1, *, q: int):
     conditional subtraction fully reduces to [0, q).
     """
     val = jnp.where(mask_u, x + partner, partner - x + U32(2 * q))
+    hi = mulhi_u32_presplit(val, p0, p1)
+    return cond_sub(w * val - hi * U32(q), U32(q))
+
+
+def inv_stage_step_final_rolls(x, fwd, bwd, mask_u, w, p0, p1, *, q: int):
+    """``inv_stage_step_final`` on the two rolled copies directly."""
+    val = jnp.where(mask_u, x + fwd, bwd - x + U32(2 * q))
     hi = mulhi_u32_presplit(val, p0, p1)
     return cond_sub(w * val - hi * U32(q), U32(q))
 
@@ -175,8 +222,10 @@ def fwd_stages(
     x: (rows, width) uint32 in [0, 4q); w_rows/p0_rows/p1_rows: callables
     s -> (1, width) stage table rows.  Output in [0, q) iff final_reduce.
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
+    # (1, width): the u/v mask is row-invariant, so compute it on one row
+    # and let the selects broadcast (vs a full-tile iota: 3 ops/elem/stage)
     width = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), dimension=1)
     for s, t in enumerate(ts):
         last = final_reduce and s == len(ts) - 1
         if use_split and t >= SPLIT_MIN_T and width % (2 * t) == 0:
@@ -186,9 +235,11 @@ def fwd_stages(
             continue
         t_log = t.bit_length() - 1
         mask_u = ((lane >> t_log) & 1) == 0
-        pu = partner_via_roll(x, mask_u, t, roll)
-        x = fwd_stage_step(
-            x, pu, mask_u, w_rows(s), p0_rows(s), p1_rows(s), q=q, last=last
+        fwd = roll(x, -t, 1)  # brings x[j + t] to slot j
+        bwd = roll(x, t, 1)   # brings x[j - t] to slot j
+        x = fwd_stage_step_rolls(
+            x, fwd, bwd, mask_u, w_rows(s), p0_rows(s), p1_rows(s),
+            q=q, last=last,
         )
     return x
 
@@ -215,8 +266,8 @@ def inv_stages(
 
     x: (rows, width) uint32 in [0, 2q); output [0, q) if scaled, else [0, 2q).
     """
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
     width = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), dimension=1)
     for s, t in enumerate(ts):
         final = scale_in_tables and s == len(ts) - 1
         if not final and use_split and t >= SPLIT_MIN_T and width % (2 * t) == 0:
@@ -226,10 +277,11 @@ def inv_stages(
             continue
         t_log = t.bit_length() - 1
         mask_u = ((lane >> t_log) & 1) == 0
-        pu = partner_via_roll(x, mask_u, t, roll)
-        step = inv_stage_step_final if final else inv_stage_step
+        fwd = roll(x, -t, 1)
+        bwd = roll(x, t, 1)
+        step = inv_stage_step_final_rolls if final else inv_stage_step_rolls
         x = step(
-            x, pu, mask_u, w_rows(s), p0_rows(s), p1_rows(s), q=q
+            x, fwd, bwd, mask_u, w_rows(s), p0_rows(s), p1_rows(s), q=q
         )
     if scale is not None and not scale_in_tables:
         x = apply_scale(x, q=q, scale=scale, scale_precon=scale_precon)

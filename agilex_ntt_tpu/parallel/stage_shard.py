@@ -38,6 +38,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..params import NTTParams
+from ..utils.profiling import under_trace
 from ..ops import stage_tables as st
 from ..ops import ntt_kernel
 from ..ops.stage_math import (
@@ -135,11 +136,10 @@ def _specs(dp_axis: Optional[str], sp_axis: str):
     return (x_spec, tab_spec, tab_spec, tab_spec), x_spec
 
 
-def _under_trace() -> bool:
-    """True when called inside an enclosing jax trace (a jnp op then yields
-    a Tracer).  Device arrays created under a trace must NOT be cached —
-    they would leak tracers into later eager calls."""
-    return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+# Device arrays created under a trace must NOT be cached — they would leak
+# tracers into later eager calls; under_trace is a pure trace-state query
+# (materializing a probe array cost one dispatch per eager call).
+_under_trace = under_trace
 
 
 # device-resident stage tables, cached per params: passing fresh

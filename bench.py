@@ -9,11 +9,12 @@ the FPGA hot loop retires VEC=8 butterflies/cycle at II=1
 log2(n) * n / (2*VEC) = 12 * 4096 / 16 = 3072 cycles per n=4096 frame; at the
 ~400 MHz Agilex clock that is ~130,208 NTTs/s per compute unit.
 
-Timing uses a delta method (time k chained calls minus one call) because the
-first device->host sync through this environment's TPU tunnel carries a large
-constant overhead that would otherwise pollute per-call numbers; chaining
-makes each call's input depend on the previous output so nothing can be
-skipped or overlapped away.
+Timing: true on-device kernel time from a jax.profiler trace
+(utils.profiling.device_time_profiled) — device timestamps are immune to
+host/tunnel jitter.  Falls back to the wall-clock delta method (time k
+chained calls minus one call, min-reduced separately) when no device trace
+is available; the two agree within 1% on the v5e chip (fwd n=4096 b=8192 =
+2.285 ms both ways, round 2).
 """
 
 import json
@@ -24,6 +25,7 @@ import jax.numpy as jnp
 
 from agilex_ntt_tpu.params import find_primes, make_params
 from agilex_ntt_tpu.ops import ntt_kernel, xla_ntt
+from agilex_ntt_tpu.utils.profiling import device_time_profiled
 
 N = 4096
 # 400 MHz / (log2(4096) * 4096 / (2*VEC=16)) cycles = 130,208 frames/s per CU
@@ -45,29 +47,32 @@ def main():
     else:
         step = lambda v: xla_ntt.fwd_ntt_xla(v, params)
 
-    def run(k):
-        y = x
-        for _ in range(k):
-            y = step(y)
-        # tiny readback forces full execution of the chain
-        return int(jnp.sum(y[0]) % jnp.uint32(97))
+    per_call = device_time_profiled(step, x, iters=min(iters, 10))
+    if per_call is None:
+        # no device-side trace events (CPU run): wall-clock delta method.
+        def run(k):
+            y = x
+            for _ in range(k):
+                y = step(y)
+            # tiny readback forces full execution of the chain
+            return int(jnp.sum(y[0]) % jnp.uint32(97))
 
-    run(1)  # compile + warm
-    # tunnel stalls are one-sided noise: min-reduce the baseline and the
-    # chained measurement SEPARATELY before subtracting (subtracting one
-    # stalled baseline sample from a clean chained sample would overstate
-    # throughput, sometimes past the hardware ceiling)
-    def sample(k, trials=3):
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            run(k)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        run(1)  # compile + warm
+        # tunnel stalls are one-sided noise: min-reduce the baseline and the
+        # chained measurement SEPARATELY before subtracting (subtracting one
+        # stalled baseline sample from a clean chained sample would overstate
+        # throughput, sometimes past the hardware ceiling)
+        def sample(k, trials=3):
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                run(k)
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    t_one = sample(1)
-    t_many = sample(1 + iters)
-    per_call = max((t_many - t_one) / iters, 1e-9)
+        t_one = sample(1)
+        t_many = sample(1 + iters)
+        per_call = max((t_many - t_one) / iters, 1e-9)
 
     ntts_per_sec = B / per_call
     out = {

@@ -131,3 +131,29 @@ def test_bad_shapes():
     ring = Ring(128)
     with pytest.raises(ValueError):
         ring.ntt(np.zeros((4, 64), np.uint32))
+
+
+def test_check_is_eager_only():
+    # round-2 ADVICE fix: under an enclosing trace, check() raises a clear
+    # error instead of an opaque TracerConversionError
+    import jax
+    import jax.numpy as jnp
+
+    ring = Ring(128)
+    ring.check(np.zeros((2, 128), np.uint32))  # eager path still works
+    with pytest.raises(RuntimeError, match="eager-only"):
+        jax.jit(lambda x: ring.check(x))(jnp.zeros((2, 128), jnp.uint32))
+
+
+def test_explicit_block_rows_warns_when_not_dividing():
+    # round-2 ADVICE fix: silent snapping is for the auto default only
+    import warnings
+
+    from agilex_ntt_tpu.ops.ntt_kernel import _pick_block_rows
+
+    with pytest.warns(UserWarning, match="does not divide"):
+        assert _pick_block_rows(64, 4096, 48) == 32
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # auto pick must stay silent
+        assert _pick_block_rows(64, 4096, None) > 0
+        assert _pick_block_rows(64, 4096, 32) == 32  # dividing: silent
