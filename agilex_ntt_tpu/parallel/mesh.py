@@ -113,6 +113,49 @@ class ShardedRing:
         """Place a (B, n) array with this ring's sharding."""
         return jax.device_put(x, NamedSharding(self.mesh, self._x_spec))
 
+    def _dp_pad(self, x: jnp.ndarray):
+        """Pad the batch up to a multiple of the dp axis size.
+
+        The TPU analog of the reference's remainder-frame distribution: the
+        producer gives the first numFrames % NUM_CUs compute units one extra
+        frame (miniBatchSize + 1, /root/reference/src/kernel/ntt.cpp:526-536).
+        Under SPMD every device must run the same program on an equal shard,
+        so the remainder is handled by zero-padding the batch and slicing the
+        result — transforms are row-independent, so real rows are bit-exact.
+        Returns (padded, true_batch).
+        """
+        b = x.shape[0]
+        if self.dp_axis is None:
+            return x, b
+        P_dp = self.mesh.shape[self.dp_axis]
+        pad = (-b) % P_dp
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        return x, b
+
+    def _true_rows(self, out: jnp.ndarray, b: int) -> jnp.ndarray:
+        """Slice padded result rows back off (remainder-frame batches only).
+
+        A slice to a size not divisible by the dp axis is rejected by the
+        sharding type system, eagerly and under jit, so the batch axis is
+        first unsharded (a dp-axis all-gather — remainder batches trade one
+        gather for the reference's uneven per-CU frame counts); coefficients
+        stay sharded over sp.  Runs under jit so GSPMD inserts the gather.
+        """
+        if out.shape[0] == b:
+            return out
+        fn = self._dp_cache.get("slice_rows")
+        if fn is None:
+            unshard = NamedSharding(self.mesh, P(None, self.sp_axis))
+
+            def f(o, n):
+                o = jax.lax.with_sharding_constraint(o, unshard)
+                return jax.lax.slice_in_dim(o, 0, n, axis=0)
+
+            fn = jax.jit(f, static_argnums=1)
+            self._dp_cache["slice_rows"] = fn
+        return fn(out, b)
+
     def _dp_map(self, key, fn, *xs):
         """shard_map a per-shard (B_local, n) -> (B_local, n) function over
         the dp axis only.  `key` memoizes the jitted wrapper — rebuilding
@@ -135,20 +178,23 @@ class ShardedRing:
         x = jnp.asarray(x, dtype=jnp.uint32)
         if x.ndim != 2 or x.shape[-1] != self.ring.n:
             raise ValueError(f"expected (B, n={self.ring.n}), got {x.shape}")
+        x, b = self._dp_pad(x)
         if self.sp_axis is not None:
             if self.sp_method == "fourstep":
-                return fourstep_shard.fourstep_sharded_fwd(
+                out = fourstep_shard.fourstep_sharded_fwd(
                     x, self._plan, self.mesh,
                     axis=self.sp_axis, dp_axis=self.dp_axis,
                     backend=self.ring.backend, interpret=self.ring.interpret,
                     block_rows=self.ring.block_rows,
                 )
-            return stage_shard.stage_sharded_fwd(
-                x, self.ring.params, self.mesh,
-                axis=self.sp_axis, dp_axis=self.dp_axis,
-                use_pallas=self._use_pallas, interpret=self.ring.interpret,
-                block_rows=self.ring.block_rows,
-            )
+            else:
+                out = stage_shard.stage_sharded_fwd(
+                    x, self.ring.params, self.mesh,
+                    axis=self.sp_axis, dp_axis=self.dp_axis,
+                    use_pallas=self._use_pallas, interpret=self.ring.interpret,
+                    block_rows=self.ring.block_rows,
+                )
+            return self._true_rows(out, b)
         if self.ring.method == "fourstep":
             fn = lambda xl: fourstep.fwd_ntt_fourstep(
                 xl, self.ring.plan, backend=self.ring.backend,
@@ -161,26 +207,30 @@ class ShardedRing:
             )
         else:
             fn = lambda xl: xla_ntt.fwd_ntt_xla(xl, self.ring.params)
-        return self._dp_map("ntt", fn, x)
+        out = self._dp_map("ntt", fn, x)
+        return self._true_rows(out, b)
 
     def intt(self, x: jnp.ndarray, *, scale: Optional[int] = None) -> jnp.ndarray:
         x = jnp.asarray(x, dtype=jnp.uint32)
         if x.ndim != 2 or x.shape[-1] != self.ring.n:
             raise ValueError(f"expected (B, n={self.ring.n}), got {x.shape}")
+        x, b = self._dp_pad(x)
         if self.sp_axis is not None:
             if self.sp_method == "fourstep":
-                return fourstep_shard.fourstep_sharded_inv(
+                out = fourstep_shard.fourstep_sharded_inv(
                     x, self._plan, self.mesh,
                     axis=self.sp_axis, dp_axis=self.dp_axis, scale=scale,
                     backend=self.ring.backend, interpret=self.ring.interpret,
                     block_rows=self.ring.block_rows,
                 )
-            return stage_shard.stage_sharded_inv(
-                x, self.ring.params, self.mesh,
-                axis=self.sp_axis, dp_axis=self.dp_axis, scale=scale,
-                use_pallas=self._use_pallas, interpret=self.ring.interpret,
-                block_rows=self.ring.block_rows,
-            )
+            else:
+                out = stage_shard.stage_sharded_inv(
+                    x, self.ring.params, self.mesh,
+                    axis=self.sp_axis, dp_axis=self.dp_axis, scale=scale,
+                    use_pallas=self._use_pallas, interpret=self.ring.interpret,
+                    block_rows=self.ring.block_rows,
+                )
+            return self._true_rows(out, b)
         if self.ring.method == "fourstep":
             fn = lambda xl: fourstep.inv_ntt_fourstep(
                 xl, self.ring.plan, scale=scale, backend=self.ring.backend,
@@ -193,7 +243,8 @@ class ShardedRing:
             )
         else:
             fn = lambda xl: xla_ntt.inv_ntt_xla(xl, self.ring.params, scale=scale)
-        return self._dp_map(("intt", scale), fn, x)
+        out = self._dp_map(("intt", scale), fn, x)
+        return self._true_rows(out, b)
 
     def polymul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Negacyclic product; pointwise stage is elementwise so it keeps

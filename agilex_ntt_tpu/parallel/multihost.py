@@ -86,8 +86,12 @@ def pod_mesh(dp: int = 1, sp: int = 1) -> Mesh:
         )
     # topology-aware: jax.make_mesh orders devices along physical ICI axes
     # (a raw reshape of jax.devices() would be enumeration-order and could
-    # put sp "neighbors" on different hosts)
-    return jax.make_mesh((dp, sp), ("dp", "sp"))
+    # put sp "neighbors" on different hosts).  Axis types are Auto like
+    # make_mesh: this library manages shardings itself via shard_map, and
+    # the default Explicit axes reject the with_sharding_constraint the
+    # remainder-batch path uses.
+    axis_types = (jax.sharding.AxisType.Auto,) * 2
+    return jax.make_mesh((dp, sp), ("dp", "sp"), axis_types=axis_types)
 
 
 def process_local_batch(global_batch: int) -> slice:
