@@ -239,6 +239,28 @@ class Ring:
                 return f
 
             return self._jitted("polymul_fused", build)(_as_u32(a), _as_u32(b))
+        if (
+            self.method == "fourstep"
+            and self.backend == "pallas"
+            and fourstep.use_polymul_fuse(self.plan, self.backend)
+        ):
+            # large-n single-kernel path: both four-step transforms +
+            # pointwise + inverse on the resident (n1, n2) tile
+            def build():
+                def f(x, y):
+                    x, y = jnp.broadcast_arrays(x, y)
+                    xf, lead, bb = self._flatten(x)
+                    yf, _, _ = self._flatten(y)
+                    out = fourstep.polymul_fourstep_fused(
+                        xf, yf, self.plan,
+                        scale=self.polymul_scale, qinv_neg=self.qinv_neg,
+                        interpret=self.interpret,
+                    )
+                    return self._unflatten(out, lead, bb)
+
+                return f
+
+            return self._jitted("polymul_fused4", build)(_as_u32(a), _as_u32(b))
         fn = self._jitted(
             "polymul",
             lambda: lambda x, y: self.intt(

@@ -52,7 +52,7 @@ from ..params import (
     make_params,
 )
 from . import ntt_kernel, xla_ntt
-from .modmul import shoup_mulmod_lazy_presplit
+from .modmul import mont_mul_lazy, shoup_mulmod_lazy_presplit
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash; interned by
@@ -168,18 +168,40 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from . import stage_tables as st  # noqa: E402
 from .ntt_kernel import _pallas_roll, _row_reader  # noqa: E402
-from .stage_math import fwd_stages, inv_stages  # noqa: E402
+from .stage_math import (  # noqa: E402
+    fwd_stages,
+    fwd_stages_axis0,
+    inv_stages,
+    inv_stages_axis0,
+)
+
+
+def _col_reader(ref):
+    """Stage s of a column-oriented (n1, log n1) table -> (n1, 1) slice."""
+    return lambda s: ref[:, s : s + 1]
+
+
+def _col_tabs_T(tabs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Column-pass stage tables transposed to (n1, log n1): the axis-0 stage
+    chain broadcasts each stage's (n1, 1) column along lanes."""
+    return (
+        np.ascontiguousarray(np.asarray(tabs.w).T),
+        np.ascontiguousarray(np.asarray(tabs.p0).T),
+        np.ascontiguousarray(np.asarray(tabs.p1).T),
+    )
 
 
 def _col_fwd_kernel(x_ref, w_ref, p0_ref, p1_ref, tw_ref, tp0_ref, tp1_ref,
                     o_ref, *, ts, q):
-    v = x_ref[0].T  # (TC, n1): columns of the tile become lane-direction rows
-    v = fwd_stages(
-        v, _row_reader(w_ref), _row_reader(p0_ref), _row_reader(p1_ref),
+    # column transform along axis 0 via sublane rolls — no transposes (the
+    # earlier v.T ... .T form cost two on-chip relayouts per tile; measured
+    # 1.27x slower at n=65536, round 2)
+    v = fwd_stages_axis0(
+        x_ref[0], _col_reader(w_ref), _col_reader(p0_ref), _col_reader(p1_ref),
         ts=ts, q=q, final_reduce=True, roll=_pallas_roll,
     )
     o_ref[0] = shoup_mulmod_lazy_presplit(
-        v.T, tw_ref[:], tp0_ref[:], tp1_ref[:], q
+        v, tw_ref[:], tp0_ref[:], tp1_ref[:], q
     )
 
 
@@ -188,11 +210,10 @@ def _col_inv_kernel(x_ref, w_ref, p0_ref, p1_ref, itw_ref, itp0_ref, itp1_ref,
     v = shoup_mulmod_lazy_presplit(
         x_ref[0], itw_ref[:], itp0_ref[:], itp1_ref[:], q
     )
-    v = inv_stages(
-        v.T, _row_reader(w_ref), _row_reader(p0_ref), _row_reader(p1_ref),
+    o_ref[0] = inv_stages_axis0(
+        v, _col_reader(w_ref), _col_reader(p0_ref), _col_reader(p1_ref),
         ts=ts, q=q, scale=scale, scale_precon=scale_precon, roll=_pallas_roll,
     )
-    o_ref[0] = v.T
 
 
 def _col_tile(n1: int, n2: int) -> int:
@@ -205,12 +226,12 @@ def _col_tile(n1: int, n2: int) -> int:
 
 def _col_pass_fwd(x3, plan, *, interpret):
     b, n1, n2 = x3.shape
-    tabs = st.fwd_stage_tables(plan.col)
+    cw, cp0, cp1 = _col_tabs_T(st.fwd_stage_tables(plan.col))
     logn1 = n1.bit_length() - 1
     ts = tuple(n1 >> (s + 1) for s in range(logn1))
     tc = _col_tile(n1, n2)
     tab_spec = pl.BlockSpec(
-        (logn1, n1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        (n1, logn1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
     scale_spec = pl.BlockSpec(
         (n1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM
@@ -232,20 +253,20 @@ def _col_pass_fwd(x3, plan, *, interpret):
         ),
         interpret=interpret,
     )(
-        x3, jnp.asarray(tabs.w), jnp.asarray(tabs.p0), jnp.asarray(tabs.p1),
+        x3, jnp.asarray(cw), jnp.asarray(cp0), jnp.asarray(cp1),
         jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1),
     )
 
 
 def _col_pass_inv(x3, plan, *, col_scale, interpret):
     b, n1, n2 = x3.shape
-    tabs = st.inv_stage_tables(plan.col)
+    cw, cp0, cp1 = _col_tabs_T(st.inv_stage_tables(plan.col))
     logn1 = n1.bit_length() - 1
     ts = tuple(1 << s for s in range(logn1))
     scale_precon = (col_scale << 32) // plan.q
     tc = _col_tile(n1, n2)
     tab_spec = pl.BlockSpec(
-        (logn1, n1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        (n1, logn1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
     scale_spec = pl.BlockSpec(
         (n1, tc), lambda i, j: (0, j), memory_space=pltpu.VMEM
@@ -270,7 +291,7 @@ def _col_pass_inv(x3, plan, *, col_scale, interpret):
         ),
         interpret=interpret,
     )(
-        x3, jnp.asarray(tabs.w), jnp.asarray(tabs.p0), jnp.asarray(tabs.p1),
+        x3, jnp.asarray(cw), jnp.asarray(cp0), jnp.asarray(cp1),
         jnp.asarray(plan.itw), jnp.asarray(plan.itp0), jnp.asarray(plan.itp1),
     )
 
@@ -290,11 +311,14 @@ def _use_fused_col(plan, backend: str) -> bool:
 # frame resident in BLOCK_RAM (ntt.cpp:90-101) across all stages.
 # ---------------------------------------------------------------------------
 
-# Matrix-size cap for the fully fused kernel, measured on v5e: at 1 MiB
-# (n=2^18) one-kernel wins (31.6 vs 29.5 K NTT/s), at 2 MiB it ties, at
-# 4 MiB (n=2^20) the stage temporaries + double-buffered 4 MiB tiles crowd
-# VMEM and the two-kernel path wins (9.0 vs 6.6 K NTT/s).
-_FULL_FUSE_BYTES = 2 << 20
+# Matrix-size cap for the fully fused kernel.  Round-1 (transpose-form
+# kernels) froze this at 2 MiB because the 4 MiB matrix lost to the
+# two-kernel path (9.0 vs 6.6 K NTT/s).  Round-2's no-transpose kernels
+# (axis-0 column stages) flip the result at 4 MiB: fwd 6.62 vs 6.40 K,
+# inv 6.16 vs 4.98 K NTT/s on v5e — so the cap is now 4 MiB (n = 2^20 with
+# a square split).  Cost: the 20-stage fused kernel takes several minutes
+# to compile cold (amortized by the jit/XLA compile cache).
+_FULL_FUSE_BYTES = 4 << 20
 
 
 def _use_full_fuse(plan, backend: str) -> bool:
@@ -304,14 +328,30 @@ def _use_full_fuse(plan, backend: str) -> bool:
     )
 
 
+# The single-kernel polymul holds TWO operand tiles plus both transforms'
+# live temporaries (3x the stage chains of one transform), so its matrix
+# cap stays at 2 MiB (n <= 2^19) — beyond that the composed chain wins on
+# VMEM pressure and compile time.
+_POLYMUL_FUSE_BYTES = 2 << 20
+
+
+def use_polymul_fuse(plan, backend: str) -> bool:
+    return (
+        _use_fused_col(plan, backend)
+        and 4 * plan.n1 * plan.n2 <= _POLYMUL_FUSE_BYTES
+    )
+
+
 def _full_fwd_kernel(x_ref, cw, cp0, cp1, rw, rp0, rp1, tw, tp0, tp1, o_ref,
                      *, ts1, ts2, q):
-    vt = x_ref[0].T  # (n2, n1): column transform in lane direction
-    vt = fwd_stages(
-        vt, _row_reader(cw), _row_reader(cp0), _row_reader(cp1),
+    # column transform along axis 0 (sublane rolls, no transposes: measured
+    # 1.27x at n=65536 vs the transpose form, round 2), then scale, then the
+    # row transform along lanes
+    v = fwd_stages_axis0(
+        x_ref[0], _col_reader(cw), _col_reader(cp0), _col_reader(cp1),
         ts=ts1, q=q, final_reduce=True, roll=_pallas_roll,
     )
-    v = shoup_mulmod_lazy_presplit(vt.T, tw[:], tp0[:], tp1[:], q)
+    v = shoup_mulmod_lazy_presplit(v, tw[:], tp0[:], tp1[:], q)
     v = fwd_stages(
         v, _row_reader(rw), _row_reader(rp0), _row_reader(rp1),
         ts=ts2, q=q, final_reduce=True, roll=_pallas_roll,
@@ -328,12 +368,11 @@ def _full_inv_kernel(x_ref, cw, cp0, cp1, rw, rp0, rp1, itw, itp0, itp1,
         roll=_pallas_roll,
     )
     v = shoup_mulmod_lazy_presplit(v, itw[:], itp0[:], itp1[:], q)
-    vt = inv_stages(
-        v.T, _row_reader(cw), _row_reader(cp0), _row_reader(cp1),
+    o_ref[0] = inv_stages_axis0(
+        v, _col_reader(cw), _col_reader(cp0), _col_reader(cp1),
         ts=ts1, q=q, scale=col_scale, scale_precon=col_precon,
         roll=_pallas_roll,
     )
-    o_ref[0] = vt.T
 
 
 def _full_specs(plan):
@@ -342,7 +381,7 @@ def _full_specs(plan):
     x_spec = pl.BlockSpec(
         (1, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    ctab = pl.BlockSpec((ln1, n1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ctab = pl.BlockSpec((n1, ln1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rtab = pl.BlockSpec((ln2, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stab = pl.BlockSpec((n1, n2), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return x_spec, ctab, rtab, stab
@@ -350,7 +389,7 @@ def _full_specs(plan):
 
 def _full_pass_fwd(x3, plan, *, interpret):
     b, n1, n2 = x3.shape
-    ctabs = st.fwd_stage_tables(plan.col)
+    cw, cp0, cp1 = _col_tabs_T(st.fwd_stage_tables(plan.col))
     rtabs = st.fwd_stage_tables(plan.row)
     ts1 = tuple(n1 >> (s + 1) for s in range(n1.bit_length() - 1))
     ts2 = tuple(n2 >> (s + 1) for s in range(n2.bit_length() - 1))
@@ -369,7 +408,7 @@ def _full_pass_fwd(x3, plan, *, interpret):
         ),
         interpret=interpret,
     )(
-        x3, jnp.asarray(ctabs.w), jnp.asarray(ctabs.p0), jnp.asarray(ctabs.p1),
+        x3, jnp.asarray(cw), jnp.asarray(cp0), jnp.asarray(cp1),
         jnp.asarray(rtabs.w), jnp.asarray(rtabs.p0), jnp.asarray(rtabs.p1),
         jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1),
     )
@@ -377,7 +416,7 @@ def _full_pass_fwd(x3, plan, *, interpret):
 
 def _full_pass_inv(x3, plan, *, col_scale, interpret):
     b, n1, n2 = x3.shape
-    ctabs = st.inv_stage_tables(plan.col)
+    cw, cp0, cp1 = _col_tabs_T(st.inv_stage_tables(plan.col))
     rtabs = st.inv_stage_tables(plan.row)
     ts1 = tuple(1 << s for s in range(n1.bit_length() - 1))
     ts2 = tuple(1 << s for s in range(n2.bit_length() - 1))
@@ -401,10 +440,113 @@ def _full_pass_inv(x3, plan, *, col_scale, interpret):
         ),
         interpret=interpret,
     )(
-        x3, jnp.asarray(ctabs.w), jnp.asarray(ctabs.p0), jnp.asarray(ctabs.p1),
+        x3, jnp.asarray(cw), jnp.asarray(cp0), jnp.asarray(cp1),
         jnp.asarray(rtabs.w), jnp.asarray(rtabs.p0), jnp.asarray(rtabs.p1),
         jnp.asarray(plan.itw), jnp.asarray(plan.itp0), jnp.asarray(plan.itp1),
     )
+
+
+def _full_polymul_kernel(
+    a_ref, b_ref, fcw, fcp0, fcp1, frw, frp0, frp1, ftw, ftp0, ftp1,
+    icw, icp0, icp1, irw, irp0, irp1, itw, itp0, itp1, o_ref,
+    *, ts1f, ts2f, ts1i, ts2i, q, qinv_neg, row_scale, row_precon,
+    col_scale, col_precon,
+):
+    """Negacyclic polymul with BOTH four-step transforms + pointwise + the
+    inverse, all on the resident (n1, n2) tile: 2 HBM reads + 1 write per
+    polynomial instead of the 7 passes of the composed form (the large-n
+    analog of ntt_kernel.polymul_fused, and of the reference frame never
+    leaving BLOCK_RAM between pipeline phases, ntt.cpp:90-101, 508-640)."""
+
+    def fwd4(v):
+        v = fwd_stages_axis0(
+            v, _col_reader(fcw), _col_reader(fcp0), _col_reader(fcp1),
+            ts=ts1f, q=q, final_reduce=True, roll=_pallas_roll,
+        )
+        v = shoup_mulmod_lazy_presplit(v, ftw[:], ftp0[:], ftp1[:], q)
+        return fwd_stages(
+            v, _row_reader(frw), _row_reader(frp0), _row_reader(frp1),
+            ts=ts2f, q=q, final_reduce=True, roll=_pallas_roll,
+        )
+
+    fa = fwd4(a_ref[0])
+    fb = fwd4(b_ref[0])
+    prod = mont_mul_lazy(fa, fb, q, qinv_neg)  # [0, 2q); R^-1 in col_scale
+    v = inv_stages(
+        prod, _row_reader(irw), _row_reader(irp0), _row_reader(irp1),
+        ts=ts2i, q=q, scale=row_scale, scale_precon=row_precon,
+        roll=_pallas_roll,
+    )
+    v = shoup_mulmod_lazy_presplit(v, itw[:], itp0[:], itp1[:], q)
+    o_ref[0] = inv_stages_axis0(
+        v, _col_reader(icw), _col_reader(icp0), _col_reader(icp1),
+        ts=ts1i, q=q, scale=col_scale, scale_precon=col_precon,
+        roll=_pallas_roll,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "scale", "qinv_neg", "interpret")
+)
+def polymul_fourstep_fused(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    plan: FourStepPlan,
+    *,
+    scale: int,
+    qinv_neg: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Negacyclic a*b mod (X^n + 1, q) as ONE kernel on four-step rings.
+
+    `scale` must fold n^-1 and the Montgomery R (api.Ring.polymul_scale).
+    Requires a full-fuse-eligible plan (matrix <= _FULL_FUSE_BYTES); callers
+    fall back to the composed transform chain beyond that.
+    """
+    b_sz, n1, n2 = a.shape[0], plan.n1, plan.n2
+    q = plan.q
+    fc = _col_tabs_T(st.fwd_stage_tables(plan.col))
+    fr = st.fwd_stage_tables(plan.row)
+    ic = _col_tabs_T(st.inv_stage_tables(plan.col))
+    ir = st.inv_stage_tables(plan.row)
+    ln1, ln2 = n1.bit_length() - 1, n2.bit_length() - 1
+    ts1f = tuple(n1 >> (s + 1) for s in range(ln1))
+    ts2f = tuple(n2 >> (s + 1) for s in range(ln2))
+    ts1i = tuple(1 << s for s in range(ln1))
+    ts2i = tuple(1 << s for s in range(ln2))
+    row_scale = plan.row.n_inv
+    col_scale = scale * plan.n2 % q
+    x_spec, ctab, rtab, stab = _full_specs(plan)
+    kern = functools.partial(
+        _full_polymul_kernel,
+        ts1f=ts1f, ts2f=ts2f, ts1i=ts1i, ts2i=ts2i, q=q, qinv_neg=qinv_neg,
+        row_scale=row_scale, row_precon=(row_scale << 32) // q,
+        col_scale=col_scale, col_precon=(col_scale << 32) // q,
+    )
+    a3 = a.reshape(b_sz, n1, n2)
+    b3 = b.reshape(b_sz, n1, n2)
+    out = pl.pallas_call(
+        kern,
+        grid=(b_sz,),
+        in_specs=[x_spec, x_spec] + [ctab] * 3 + [rtab] * 3 + [stab] * 3
+        + [ctab] * 3 + [rtab] * 3 + [stab] * 3,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b_sz, n1, n2), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        a3, b3,
+        jnp.asarray(fc[0]), jnp.asarray(fc[1]), jnp.asarray(fc[2]),
+        jnp.asarray(fr.w), jnp.asarray(fr.p0), jnp.asarray(fr.p1),
+        jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1),
+        jnp.asarray(ic[0]), jnp.asarray(ic[1]), jnp.asarray(ic[2]),
+        jnp.asarray(ir.w), jnp.asarray(ir.p0), jnp.asarray(ir.p1),
+        jnp.asarray(plan.itw), jnp.asarray(plan.itp0), jnp.asarray(plan.itp1),
+    )
+    return out.reshape(b_sz, plan.n)
 
 
 @functools.lru_cache(maxsize=32)

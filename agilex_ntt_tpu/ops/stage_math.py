@@ -286,3 +286,71 @@ def inv_stages(
     if scale is not None and not scale_in_tables:
         x = apply_scale(x, q=q, scale=scale, scale_precon=scale_precon)
     return x
+
+
+def fwd_stages_axis0(
+    x: jnp.ndarray,
+    w_cols,
+    p0_cols,
+    p1_cols,
+    *,
+    ts,
+    q: int,
+    final_reduce: bool,
+    roll: RollFn,
+) -> jnp.ndarray:
+    """Forward stages along axis 0 (the sublane direction) of an (n1, n2)
+    tile: the four-step column transform without any transpose.
+
+    The lane-direction chains (``fwd_stages``) need the transform dimension
+    on lanes, which costs two on-chip transposes per four-step pass; on TPU
+    the sublane direction rotates just as cheaply (vreg row permutes for
+    t >= 8, intra-vreg sublane rotates below), so the column transform runs
+    in place.  w_cols/p0_cols/p1_cols: callables s -> (n1, 1) stage table
+    columns (broadcast along lanes).  Bit-identical to transposing,
+    running ``fwd_stages``, and transposing back.
+    """
+    n1 = x.shape[0]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), dimension=0)
+    for s, t in enumerate(ts):
+        last = final_reduce and s == len(ts) - 1
+        t_log = t.bit_length() - 1
+        mask_u = ((rowi >> t_log) & 1) == 0
+        fwd = roll(x, -t, 0)  # brings x[r + t] to row r
+        bwd = roll(x, t, 0)
+        x = fwd_stage_step_rolls(
+            x, fwd, bwd, mask_u, w_cols(s), p0_cols(s), p1_cols(s),
+            q=q, last=last,
+        )
+    return x
+
+
+def inv_stages_axis0(
+    x: jnp.ndarray,
+    w_cols,
+    p0_cols,
+    p1_cols,
+    *,
+    ts,
+    q: int,
+    scale=None,
+    scale_precon=None,
+    roll: RollFn,
+    scale_in_tables: bool = False,
+) -> jnp.ndarray:
+    """Inverse stages along axis 0 (see ``fwd_stages_axis0``)."""
+    n1 = x.shape[0]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n1, 1), dimension=0)
+    for s, t in enumerate(ts):
+        final = scale_in_tables and s == len(ts) - 1
+        t_log = t.bit_length() - 1
+        mask_u = ((rowi >> t_log) & 1) == 0
+        fwd = roll(x, -t, 0)
+        bwd = roll(x, t, 0)
+        step = inv_stage_step_final_rolls if final else inv_stage_step_rolls
+        x = step(
+            x, fwd, bwd, mask_u, w_cols(s), p0_cols(s), p1_cols(s), q=q
+        )
+    if scale is not None and not scale_in_tables:
+        x = apply_scale(x, q=q, scale=scale, scale_precon=scale_precon)
+    return x

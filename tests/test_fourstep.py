@@ -216,3 +216,36 @@ def test_ring_fourstep_matches_radix2(rng):
     assert (np.asarray(r2.ntt(x)) == np.asarray(r4.ntt(x))).all()
     y = r2.ntt(x)
     assert (np.asarray(r2.intt(y)) == np.asarray(r4.intt(y))).all()
+
+
+def test_fused_polymul_fourstep_interpret_bit_exact(rng):
+    """Round-2 single-kernel four-step polymul (VERDICT item 5) vs the
+    composed transform chain, in interpret mode (the emulator analog)."""
+    import jax.numpy as jnp
+
+    from agilex_ntt_tpu.ops.fourstep import polymul_fourstep_fused
+    from agilex_ntt_tpu.ops.modmul import mont_qinv_neg
+
+    n = 1 << 16
+    q = find_primes(n, 1)[0]
+    plan = make_plan(n, q)
+    scale = pow(n, q - 2, q) * ((1 << 32) % q) % q
+    a = rng.integers(0, q, size=(2, n), dtype=np.uint32)
+    b = rng.integers(0, q, size=(2, n), dtype=np.uint32)
+    got = np.asarray(
+        polymul_fourstep_fused(
+            jnp.asarray(a), jnp.asarray(b), plan,
+            scale=scale, qinv_neg=mont_qinv_neg(q), interpret=True,
+        )
+    )
+    # composed oracle: fwd x2 (xla), montgomery pointwise, scaled inverse
+    from agilex_ntt_tpu.ops.fourstep import fwd_ntt_fourstep, inv_ntt_fourstep
+    from agilex_ntt_tpu.ops.modmul import mont_mul_lazy
+
+    fa = fwd_ntt_fourstep(jnp.asarray(a), plan, backend="xla")
+    fb = fwd_ntt_fourstep(jnp.asarray(b), plan, backend="xla")
+    prod = mont_mul_lazy(fa, fb, q, mont_qinv_neg(q))
+    want = np.asarray(
+        inv_ntt_fourstep(prod, plan, scale=scale, backend="xla")
+    )
+    assert (got == want).all()
