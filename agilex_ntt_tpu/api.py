@@ -110,8 +110,13 @@ class Ring:
             self._psi = make_params(n, q, psi).psi
         if backend is None:
             backend = _default_backend()
-        if n < MIN_KERNEL_N and backend == "pallas":
-            backend = "xla"
+            # auto choice for n < MIN_KERNEL_N: XLA measured 1.56x the
+            # lane-packed Pallas kernel at n=32 on v5e (tiny transforms are
+            # memory-bound and XLA fuses the whole stage chain); explicit
+            # backend="pallas" still runs the packed kernels (round 2) —
+            # reference parity for its smallest config (ntt.h:12)
+            if n < MIN_KERNEL_N:
+                backend = "xla"
         if backend not in ("pallas", "xla"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
@@ -540,8 +545,8 @@ class CyclicRing:
         self.interpret = interpret
         if backend is None:
             backend = _default_backend()
-        if n < MIN_KERNEL_N and backend == "pallas":
-            backend = "xla"
+            if n < MIN_KERNEL_N:
+                backend = "xla"  # same auto choice as Ring (measured)
         self.backend = backend
         self.qinv_neg = mont_qinv_neg(q)
         self.r_mod_q = (1 << 32) % q

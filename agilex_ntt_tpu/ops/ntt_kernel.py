@@ -36,6 +36,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,10 +47,41 @@ from .stage_math import fwd_stages, inv_stages
 
 DEFAULT_BLOCK_ROWS = 64
 
-# Minimum transform size for the lane-rotate kernel: the polynomial must fill
-# at least one 128-wide lane tile.  Smaller n (the reference's n=32 config,
-# ntt.h:11-23) dispatches to the XLA path in api.py.
+# Minimum transform size for the direct lane-rotate kernel: the polynomial
+# must fill at least one 128-wide lane tile.  Smaller n (the reference's
+# n=32 config, ntt.h:11-23) runs the SAME kernel via lane packing: k =
+# PACK_WIDTH/n polynomials ride one row, with the positional stage tables
+# tiled k times.  Rolls then wrap across polynomial boundaries, which is
+# safe for the same reason single-polynomial wraparound is: a u slot's
+# partner x[j+t] never crosses its segment (its stride-t bit is clear and
+# 2t divides n), and wrapped values land only at slots that never read
+# them.  Masks are periodic in n since 2t | n for every stage stride.
 MIN_KERNEL_N = 128
+PACK_WIDTH = 512
+
+
+def _pack(x: jnp.ndarray, n: int):
+    """(B, n) -> (ceil(B/k), k*n) with k = PACK_WIDTH // n polynomials per
+    row (zero-padding the batch); returns (packed, true_batch, k)."""
+    k = PACK_WIDTH // n
+    b = x.shape[0]
+    pad = (-b) % k
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x.reshape(-1, k * n), b, k
+
+
+def _unpack(y: jnp.ndarray, n: int, b: int) -> jnp.ndarray:
+    return y.reshape(-1, n)[:b]
+
+
+def _tile_tabs(tabs, k: int):
+    """Tile (log n, n) positional stage tables k times along lanes."""
+    return (
+        np.tile(np.asarray(tabs.w), (1, k)),
+        np.tile(np.asarray(tabs.p0), (1, k)),
+        np.tile(np.asarray(tabs.p1), (1, k)),
+    )
 
 
 def _pallas_roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
@@ -230,6 +262,17 @@ def polymul_fused(
     n, logn = params.n, params.log_n
     fwd_ts = tuple(n >> (s + 1) for s in range(logn))
     inv_ts = tuple(1 << s for s in range(logn))
+    ftab3 = (ftabs.w, ftabs.p0, ftabs.p1)
+    itab3 = (itabs.w, itabs.p0, itabs.p1)
+    if n < MIN_KERNEL_N:
+        # lane-packed: the pointwise product is elementwise, so packing is
+        # transparent to the whole fused pipeline
+        a, b_true, k = _pack(a, n)
+        b, _, _ = _pack(b, n)
+        ftab3 = _tile_tabs(ftabs, k)
+        itab3 = _tile_tabs(itabs, k)
+    else:
+        b_true = None
     batch, width = a.shape
     br = _pick_block_rows(batch, width, block_rows)
     grid = (batch // br,)
@@ -241,7 +284,7 @@ def polymul_fused(
         _polymul_kernel, fwd_ts=fwd_ts, inv_ts=inv_ts, q=params.q,
         qinv_neg=qinv_neg,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[x_spec, x_spec] + [tab_spec] * 6,
@@ -254,9 +297,12 @@ def polymul_fused(
         interpret=interpret,
     )(
         a, b,
-        jnp.asarray(ftabs.w), jnp.asarray(ftabs.p0), jnp.asarray(ftabs.p1),
-        jnp.asarray(itabs.w), jnp.asarray(itabs.p0), jnp.asarray(itabs.p1),
+        jnp.asarray(ftab3[0]), jnp.asarray(ftab3[1]), jnp.asarray(ftab3[2]),
+        jnp.asarray(itab3[0]), jnp.asarray(itab3[1]), jnp.asarray(itab3[2]),
     )
+    if b_true is not None:
+        return _unpack(out, n, b_true)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("params", "block_rows", "interpret"))
@@ -271,9 +317,18 @@ def fwd_ntt(
 
     Input coefficients must be in [0, 4q); output is fully reduced to [0, q)
     in the HEXL evaluation order out[k] = A(psi^(2*bitrev(k)+1)).
+    n < 128 runs lane-packed (see PACK_WIDTH).
     """
     tabs = st.fwd_stage_tables(params)
     ts = tuple(params.n >> (s + 1) for s in range(params.log_n))
+    if params.n < MIN_KERNEL_N:
+        xp, b, k = _pack(x, params.n)
+        w, p0, p1 = _tile_tabs(tabs, k)
+        y = fwd_stages_pallas(
+            xp, w, p0, p1, ts=ts, q=params.q, final_reduce=True,
+            block_rows=block_rows, interpret=interpret,
+        )
+        return _unpack(y, params.n, b)
     return fwd_stages_pallas(
         x, tabs.w, tabs.p0, tabs.p1,
         ts=ts, q=params.q, final_reduce=True,
@@ -303,6 +358,14 @@ def inv_ntt(
     # scaling rides the last stage's twiddle row: no standalone scale pass
     tabs = st.inv_stage_tables_scaled(params, scale)
     ts = tuple(1 << s for s in range(params.log_n))
+    if params.n < MIN_KERNEL_N:
+        xp, b, k = _pack(x, params.n)
+        w, p0, p1 = _tile_tabs(tabs, k)
+        y = inv_stages_pallas(
+            xp, w, p0, p1, ts=ts, q=params.q, scale=None, scale_precon=None,
+            scale_in_tables=True, block_rows=block_rows, interpret=interpret,
+        )
+        return _unpack(y, params.n, b)
     return inv_stages_pallas(
         x, tabs.w, tabs.p0, tabs.p1,
         ts=ts, q=params.q, scale=None, scale_precon=None,

@@ -119,12 +119,31 @@ def test_rns_roundtrip(rng):
 
 
 def test_backend_dispatch():
-    r_small = Ring(32, backend="pallas")  # too small for lane kernel
-    assert r_small.backend == "xla"
+    # round 2: n < 128 keeps the pallas backend (lane-packed kernels)
+    r_small = Ring(32, backend="pallas")
+    assert r_small.backend == "pallas"
     r = Ring(128, backend="xla")
     assert r.backend == "xla"
     with pytest.raises(ValueError):
         Ring(128, backend="bogus")
+
+
+@pytest.mark.parametrize("n", [32, 64])
+def test_small_n_packed_pallas_interpret(n, rng):
+    """n < 128 through the lane-packed Pallas kernels (interpret mode),
+    bit-exact vs golden — reference parity for its smallest config
+    (/root/reference/include/kernel/ntt.h:12)."""
+    ring = Ring(n, backend="pallas", interpret=True)
+    x = _rand(rng, ring.q, (11, n))  # odd batch: exercises pack padding
+    got = np.asarray(ring.ntt(x))
+    assert (got == G.fwd_ntt_u32(x, ring.params)).all()
+    back = np.asarray(ring.intt(ring.ntt(x)))
+    assert (back == x).all()
+    a = _rand(rng, ring.q, (5, n))
+    b = _rand(rng, ring.q, (5, n))
+    got_pm = np.asarray(ring.polymul(a, b))
+    want_pm = np.asarray(Ring(n, backend="xla").polymul(a, b))
+    assert (got_pm == want_pm).all()
 
 
 def test_bad_shapes():
