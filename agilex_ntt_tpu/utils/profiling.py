@@ -110,16 +110,21 @@ def device_time_profiled(
     }
     if not device_pids:
         return None
-    totals: defaultdict[str, float] = defaultdict(float)
+    totals: defaultdict[str, list] = defaultdict(lambda: [0.0, 0])
     for e in evs:
         if e.get("ph") == "X" and e.get("pid") in device_pids:
-            totals[e["name"]] += e.get("dur", 0.0)
+            t = totals[e["name"]]
+            t[0] += e.get("dur", 0.0)
+            t[1] += 1
     if not totals:
         return None
-    # the dominant event name is fn's executable; smaller names are the
-    # readback reduce/slice launches
-    busy_us = max(totals.values())
-    return busy_us * 1e-6 / iters
+    # The dominant event name is fn's executable; smaller names are the
+    # readback reduce/slice launches.  Divide by the CAPTURED event count,
+    # not `iters`: through the tunnel the trailing executions' trace events
+    # can miss the stop_trace flush (observed: 3 of 8 eager pallas calls
+    # captured), which would otherwise understate per-call time ~3x.
+    busy_us, count = max(totals.values(), key=lambda t: t[0])
+    return busy_us * 1e-6 / count
 
 
 def device_time(
