@@ -590,15 +590,15 @@ class CyclicRing:
             y = xla_ntt.inv_ntt_xla(flat, self.params, scale=scale)
         return self._unflatten(y, lead, b)
 
+    def _pointwise_lazy_expr(self, a, b) -> jnp.ndarray:
+        return mont_mul_lazy(_as_u32(a), _as_u32(b), self.q, self.qinv_neg)
+
     def polymul(self, a, b) -> jnp.ndarray:
         """Cyclic convolution a*b mod (X^n - 1, q), one jitted computation."""
         fn = self._jitted(
             "polymul",
             lambda: lambda x, y: self.intt(
-                mont_mul_lazy(
-                    _as_u32(self.ntt(x)), _as_u32(self.ntt(y)),
-                    self.q, self.qinv_neg,
-                ),
+                self._pointwise_lazy_expr(self.ntt(x), self.ntt(y)),
                 scale=self.polymul_scale,
             ),
         )

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..api import Ring, RNSRing
+from ..api import CyclicRing, Ring, RNSRing
 from ..ops import fourstep, ntt_kernel, xla_ntt
 from . import fourstep_shard, stage_shard
 
@@ -71,10 +71,10 @@ class ShardedRing:
         sp_axis: Optional[str] = None,
         sp_method: Optional[str] = None,
     ):
-        if not isinstance(ring, Ring):
+        if not isinstance(ring, (Ring, CyclicRing)):
             raise TypeError(
-                f"ShardedRing wraps a (negacyclic) Ring; got {type(ring).__name__}. "
-                "Sharded CyclicRing support is not implemented."
+                f"ShardedRing wraps a Ring or CyclicRing; got "
+                f"{type(ring).__name__}"
             )
         self.ring = ring
         self.mesh = mesh
@@ -95,11 +95,17 @@ class ShardedRing:
                 "use sp_method='fourstep' for four-step rings"
             )
         self.sp_method = sp_method
-        self._plan = (
-            ring.plan
-            if ring.plan is not None
-            else fourstep.make_plan(ring.n, ring.q, ring._psi)
-        ) if (sp_axis is not None and sp_method == "fourstep") else None
+        if sp_axis is not None and sp_method == "fourstep":
+            if ring.plan is not None:
+                self._plan = ring.plan
+            elif isinstance(ring, CyclicRing):
+                self._plan = fourstep.make_cyclic_plan(
+                    ring.n, ring.q, ring.omega
+                )
+            else:
+                self._plan = fourstep.make_plan(ring.n, ring.q, ring._psi)
+        else:
+            self._plan = None
         self._use_pallas = ring.backend == "pallas"
         self._dp_cache = {}
 

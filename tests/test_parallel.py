@@ -108,3 +108,38 @@ def test_stage_sharded_pallas_interpret(devices8, rng):
         )
     )
     assert (got == G.fwd_ntt_u32(x, pp)).all()
+
+
+def test_sharded_cyclic_ring_dp(devices8, rng):
+    """Round-2: ShardedRing now accepts CyclicRing (was a TypeError)."""
+    from agilex_ntt_tpu import CyclicRing
+
+    ring = CyclicRing(256, backend="xla")
+    mesh = make_mesh(dp=8)
+    sr = ShardedRing(ring, mesh, dp_axis="dp")
+    x = rng.integers(0, ring.q, size=(16, 256), dtype=np.uint32)
+    want = np.asarray(ring.ntt(x))
+    got = np.asarray(sr.ntt(dp_shard_batch(x, mesh)))
+    assert (got == want).all()
+    a = rng.integers(0, ring.q, size=(16, 256), dtype=np.uint32)
+    b = rng.integers(0, ring.q, size=(16, 256), dtype=np.uint32)
+    assert (
+        np.asarray(sr.polymul(a, b)) == np.asarray(ring.polymul(a, b))
+    ).all()
+
+
+@pytest.mark.parametrize("sp_method", ["stage", "fourstep"])
+def test_sharded_cyclic_ring_sp(devices8, rng, sp_method):
+    from agilex_ntt_tpu import CyclicRing
+
+    n = 2048
+    ring = CyclicRing(n, backend="xla")
+    mesh = make_mesh(dp=2, sp=4)
+    sr = ShardedRing(ring, mesh, dp_axis="dp", sp_axis="sp",
+                     sp_method=sp_method)
+    x = rng.integers(0, ring.q, size=(4, n), dtype=np.uint32)
+    want = np.asarray(ring.ntt(x))
+    got = np.asarray(sr.ntt(sr.shard(x)))
+    assert (got == want).all()
+    back = np.asarray(sr.intt(sr.shard(got)))
+    assert (back == x).all()
