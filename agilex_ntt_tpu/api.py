@@ -348,6 +348,35 @@ class Ring:
                 f"polydot expects matching (..., k, n={self.n}) shapes, got "
                 f"{a.shape} and {b.shape}"
             )
+        if (
+            self.method == "radix2"
+            and self.backend == "pallas"
+            and self.n >= MIN_KERNEL_N
+        ):
+            # single-kernel path: 2k transforms + pointwise accumulation +
+            # one inverse on the resident tile (bit-identical accumulation
+            # order to the composition below)
+            def build_fused():
+                def f(x, y):
+                    lead = x.shape[:-2]
+                    k = x.shape[-2]
+                    bb = int(np.prod(lead, dtype=np.int64)) if lead else 1
+                    xf = x.reshape(bb, k, self.n)
+                    yf = y.reshape(bb, k, self.n)
+                    pad = (-bb) % 8
+                    if pad:
+                        xf = jnp.pad(xf, ((0, pad), (0, 0), (0, 0)))
+                        yf = jnp.pad(yf, ((0, pad), (0, 0), (0, 0)))
+                    out = ntt_kernel.polydot_fused(
+                        xf, yf, self.params,
+                        scale=self.polymul_scale, qinv_neg=self.qinv_neg,
+                        block_rows=self.block_rows, interpret=self.interpret,
+                    )
+                    return out[:bb].reshape(lead + (self.n,))
+
+                return f
+
+            return self._jitted("polydot_fused", build_fused)(a, b)
         return self._jitted("polydot", build)(a, b)
 
     def rotate(self, x, k: int) -> jnp.ndarray:

@@ -110,3 +110,24 @@ def test_polymul_fused_kernel_matches_golden(rng):
     prod = ((fa * fb) % np.uint64(q)).astype(np.uint32)
     want = G.inv_ntt_u32(prod, pp)
     assert (got == want).all()
+
+
+def test_polydot_fused_interpret_bit_exact(rng):
+    """Round-2 single-kernel polydot vs the composed form (interpret mode)."""
+    import jax.numpy as jnp
+
+    from agilex_ntt_tpu import Ring
+    from agilex_ntt_tpu.ops import ntt_kernel as K
+
+    n, k, B = 256, 3, 8
+    ring = Ring(n, backend="xla")
+    a = rng.integers(0, ring.q, size=(B, k, n), dtype=np.uint32)
+    b = rng.integers(0, ring.q, size=(B, k, n), dtype=np.uint32)
+    got = np.asarray(
+        K.polydot_fused(
+            jnp.asarray(a), jnp.asarray(b), ring.params,
+            scale=ring.polymul_scale, qinv_neg=ring.qinv_neg, interpret=True,
+        )
+    )
+    want = np.asarray(ring.polydot(a, b))  # composed (XLA) oracle
+    assert (got == want).all()
