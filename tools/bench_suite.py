@@ -20,7 +20,10 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from agilex_ntt_tpu import Ring, RNSRing  # noqa: E402
-from agilex_ntt_tpu.utils.profiling import device_time  # noqa: E402
+from agilex_ntt_tpu.utils.profiling import (  # noqa: E402
+    device_time,
+    device_time_profiled,
+)
 
 
 def fpga_ntts_per_sec(n: int) -> float:
@@ -29,6 +32,11 @@ def fpga_ntts_per_sec(n: int) -> float:
 
 
 def best(fn, x, iters, trials=3):
+    # true device time from a profiler trace where available (TPU); wall
+    # delta estimator otherwise — see BASELINE.md round-2 accounting
+    t = device_time_profiled(fn, x, iters=min(iters, 8))
+    if t is not None:
+        return t
     return min(device_time(fn, x, iters=iters) for _ in range(trials))
 
 

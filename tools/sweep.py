@@ -16,7 +16,10 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from agilex_ntt_tpu import Ring  # noqa: E402
-from agilex_ntt_tpu.utils.profiling import device_time  # noqa: E402
+from agilex_ntt_tpu.utils.profiling import (  # noqa: E402
+    device_time,
+    device_time_profiled,
+)
 
 TOTAL_ELEMS = 1 << 25  # ~128 MiB of uint32 per point
 
@@ -31,10 +34,14 @@ def main():
         b = max(8, (TOTAL_ELEMS if on_tpu else 1 << 16) // n)
         r = Ring(n)
         x = jax.random.randint(key, (b, n), 0, r.q, dtype=jnp.uint32)
-        t = min(
-            device_time(lambda v: r.ntt(v), x, iters=10 if on_tpu else 2)
-            for _ in range(3)
-        )
+        # true device time from a profiler trace where available (TPU);
+        # wall-delta estimator otherwise (see BASELINE.md round-2 accounting)
+        t = device_time_profiled(lambda v: r.ntt(v), x, iters=6)
+        if t is None:
+            t = min(
+                device_time(lambda v: r.ntt(v), x, iters=10 if on_tpu else 2)
+                for _ in range(3)
+            )
         logn = n.bit_length() - 1
         fpga = 400e6 / (logn * n / 16) if n <= 32768 else None
         print(json.dumps({
