@@ -699,14 +699,85 @@ class RNSRing:
             self._jit_cache[fn_name] = fn
         return fn(*xs)
 
+    def _uniform_pallas(self) -> bool:
+        """True when every channel runs the radix-2 Pallas kernel — the
+        single-kernel multi-prime path applies (channel = grid axis, q from
+        SMEM).  Mixed/fourstep/XLA configurations use the stacked _map."""
+        return all(
+            r.method == "radix2"
+            and r.backend == "pallas"
+            and r.n >= MIN_KERNEL_N
+            for r in self.rings
+        )
+
+    def _fused(self, name: str, kernel_call):
+        fn = self._jit_cache.get(name)
+        if fn is None:
+            L, n = self.L, self.n
+
+            def f(*arrs):
+                lead = arrs[0].shape[1:-1]
+                b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+                flats = [a.reshape(L, b, n) for a in arrs]
+                pad = (-b) % 8
+                if pad:
+                    flats = [
+                        jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in flats
+                    ]
+                out = kernel_call(*flats)
+                return out[:, :b].reshape(arrs[0].shape)
+
+            fn = jax.jit(f)
+            self._jit_cache[name] = fn
+        return fn
+
     def ntt(self, x) -> jnp.ndarray:
-        return self._map("ntt", jnp.asarray(x))
+        x = jnp.asarray(x)
+        if self._uniform_pallas():
+            self._check(x)
+            r0 = self.rings[0]
+            params_tuple = tuple(r.params for r in self.rings)
+            return self._fused(
+                "ntt_fused",
+                lambda v: ntt_kernel.fwd_ntt_rns(
+                    v, params_tuple,
+                    block_rows=r0.block_rows, interpret=r0.interpret,
+                ),
+            )(x)
+        return self._map("ntt", x)
 
     def intt(self, x) -> jnp.ndarray:
-        return self._map("intt", jnp.asarray(x))
+        x = jnp.asarray(x)
+        if self._uniform_pallas():
+            self._check(x)
+            r0 = self.rings[0]
+            params_tuple = tuple(r.params for r in self.rings)
+            return self._fused(
+                "intt_fused",
+                lambda v: ntt_kernel.inv_ntt_rns(
+                    v, params_tuple,
+                    block_rows=r0.block_rows, interpret=r0.interpret,
+                ),
+            )(x)
+        return self._map("intt", x)
 
     def polymul(self, a, b) -> jnp.ndarray:
-        return self._map("polymul", jnp.asarray(a), jnp.asarray(b))
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        if self._uniform_pallas():
+            self._check(a)
+            self._check(b)
+            r0 = self.rings[0]
+            params_tuple = tuple(r.params for r in self.rings)
+            scales = tuple(r.polymul_scale for r in self.rings)
+            qinv_negs = tuple(r.qinv_neg for r in self.rings)
+            return self._fused(
+                "polymul_fused",
+                lambda x, y: ntt_kernel.polymul_rns_fused(
+                    x, y, params_tuple, scales=scales, qinv_negs=qinv_negs,
+                    block_rows=r0.block_rows, interpret=r0.interpret,
+                ),
+            )(a, b)
+        return self._map("polymul", a, b)
 
     def add(self, a, b) -> jnp.ndarray:
         return self._map("add", jnp.asarray(a), jnp.asarray(b))

@@ -23,7 +23,15 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .modmul import U32, cond_sub, mulhi_u32_presplit
+from .modmul import U32, cond_sub, mulhi_u32_presplit, u32
+
+
+def _q2(q):
+    """(q, 2q) as uint32 values.  q may be a Python int (single-modulus
+    kernels: becomes a compile-time constant) or a traced uint32 scalar
+    (the multi-prime RNS kernel reads it from SMEM per grid channel)."""
+    qv = u32(q)
+    return qv, qv + qv
 
 RollFn = Callable[[jnp.ndarray, int, int], jnp.ndarray]
 # roll(x, shift, axis) with jnp.roll semantics: y[j] = x[(j - shift) mod n]
@@ -116,14 +124,14 @@ def fwd_stage_step(x, partner, mask_u, w, p0, p1, *, q: int, last: bool):
     partner arrives as one ppermuted shard; the local chains use
     ``fwd_stage_step_rolls``.
     """
-    two_q = U32(2 * q)
+    qv, two_q = _q2(q)
     tx = cond_sub(jnp.where(mask_u, x, partner), two_q)
     ay = jnp.where(mask_u, partner, x)
     hi = mulhi_u32_presplit(ay, p0, p1)
-    Q = w * ay - hi * U32(q)
+    Q = w * ay - hi * qv
     out = jnp.where(mask_u, tx + Q, tx + two_q - Q)
     if last:
-        out = cond_sub(cond_sub(out, two_q), U32(q))
+        out = cond_sub(cond_sub(out, two_q), qv)
     return out
 
 
@@ -136,14 +144,14 @@ def fwd_stage_step_rolls(x, fwd, bwd, mask_u, w, p0, p1, *, q: int, last: bool):
     explicit partner select of ``partner_via_roll`` is redundant (one fewer
     vselect per element per stage; measured on v5e, see BASELINE.md).
     """
-    two_q = U32(2 * q)
+    qv, two_q = _q2(q)
     tx = cond_sub(jnp.where(mask_u, x, bwd), two_q)   # the pair's u-value
     ay = jnp.where(mask_u, fwd, x)                     # the pair's v-value
     hi = mulhi_u32_presplit(ay, p0, p1)
-    Q = w * ay - hi * U32(q)
+    Q = w * ay - hi * qv
     out = jnp.where(mask_u, tx + Q, tx + two_q - Q)
     if last:
-        out = cond_sub(cond_sub(out, two_q), U32(q))
+        out = cond_sub(cond_sub(out, two_q), qv)
     return out
 
 
@@ -155,11 +163,11 @@ def inv_stage_step(x, partner, mask_u, w, p0, p1, *, q: int):
     is discarded by the final where.  Used by the cross-device stages; the
     local chains use ``inv_stage_step_rolls``.
     """
-    two_q = U32(2 * q)
+    qv, two_q = _q2(q)
     ssum = cond_sub(x + partner, two_q)
     d = partner - x + two_q  # v slots: u-value minus v-value
     hi = mulhi_u32_presplit(d, p0, p1)
-    Q = w * d - hi * U32(q)
+    Q = w * d - hi * qv
     return jnp.where(mask_u, ssum, Q)
 
 
@@ -167,11 +175,11 @@ def inv_stage_step_rolls(x, fwd, bwd, mask_u, w, p0, p1, *, q: int):
     """Inverse stage consuming the two rolled copies directly (no partner
     select): ssum is only read at u slots where the partner is fwd; d only
     at v slots where the partner is bwd."""
-    two_q = U32(2 * q)
+    qv, two_q = _q2(q)
     ssum = cond_sub(x + fwd, two_q)
     d = bwd - x + two_q  # v slots: u-value minus v-value
     hi = mulhi_u32_presplit(d, p0, p1)
-    Q = w * d - hi * U32(q)
+    Q = w * d - hi * qv
     return jnp.where(mask_u, ssum, Q)
 
 
@@ -183,16 +191,18 @@ def inv_stage_step_final(x, partner, mask_u, w, p0, p1, *, q: int):
     Shoup's bound holds for any uint32 operand, so one lazy mulmod + one
     conditional subtraction fully reduces to [0, q).
     """
-    val = jnp.where(mask_u, x + partner, partner - x + U32(2 * q))
+    qv, two_q = _q2(q)
+    val = jnp.where(mask_u, x + partner, partner - x + two_q)
     hi = mulhi_u32_presplit(val, p0, p1)
-    return cond_sub(w * val - hi * U32(q), U32(q))
+    return cond_sub(w * val - hi * qv, qv)
 
 
 def inv_stage_step_final_rolls(x, fwd, bwd, mask_u, w, p0, p1, *, q: int):
     """``inv_stage_step_final`` on the two rolled copies directly."""
-    val = jnp.where(mask_u, x + fwd, bwd - x + U32(2 * q))
+    qv, two_q = _q2(q)
+    val = jnp.where(mask_u, x + fwd, bwd - x + two_q)
     hi = mulhi_u32_presplit(val, p0, p1)
-    return cond_sub(w * val - hi * U32(q), U32(q))
+    return cond_sub(w * val - hi * qv, qv)
 
 
 def apply_scale(x, *, q: int, scale: int, scale_precon: int):

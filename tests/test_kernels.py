@@ -131,3 +131,42 @@ def test_polydot_fused_interpret_bit_exact(rng):
     )
     want = np.asarray(ring.polydot(a, b))  # composed (XLA) oracle
     assert (got == want).all()
+
+
+def test_rns_single_kernel_interpret_bit_exact(rng):
+    """Round-2 multi-prime single-kernel transforms (channel = grid axis,
+    q from SMEM) vs the per-channel stacked composition."""
+    import jax.numpy as jnp
+
+    from agilex_ntt_tpu import RNSRing
+    from agilex_ntt_tpu.ops import ntt_kernel as K
+
+    n, L, B = 256, 3, 8
+    rns = RNSRing(n, num_primes=L, backend="xla")  # stacked oracle
+    params_tuple = tuple(r.params for r in rns.rings)
+    x = np.stack(
+        [rng.integers(0, r.q, size=(B, n), dtype=np.uint32) for r in rns.rings]
+    )
+    got = np.asarray(
+        K.fwd_ntt_rns(jnp.asarray(x), params_tuple, interpret=True)
+    )
+    want = np.asarray(rns.ntt(x))
+    assert (got == want).all()
+    back = np.asarray(
+        K.inv_ntt_rns(jnp.asarray(got), params_tuple, interpret=True)
+    )
+    assert (back == x).all()
+
+    a = np.stack(
+        [rng.integers(0, r.q, size=(B, n), dtype=np.uint32) for r in rns.rings]
+    )
+    pm = np.asarray(
+        K.polymul_rns_fused(
+            jnp.asarray(a), jnp.asarray(x), params_tuple,
+            scales=tuple(r.polymul_scale for r in rns.rings),
+            qinv_negs=tuple(r.qinv_neg for r in rns.rings),
+            interpret=True,
+        )
+    )
+    want_pm = np.asarray(rns.polymul(a, x))
+    assert (pm == want_pm).all()
