@@ -329,13 +329,78 @@ class ShardedRNSRing:
             self._jit_cache[name] = fn
         return fn
 
+    def _dp_fused(self, name: str, kernel_call):
+        """dp-only sharding of the single-kernel multi-prime transforms:
+        ONE shard_map whose body runs the fused RNS kernel on the local
+        (L, B/P, n) shard — instead of L separate shard_maps (round 2)."""
+        fn = self._jit_cache.get(name)
+        if fn is None:
+            spec = P(None, self.dp_axis, None)
+
+            def f(*arrs):
+                body = jax.shard_map(
+                    kernel_call, mesh=self.mesh,
+                    in_specs=(spec,) * len(arrs), out_specs=spec,
+                    check_vma=False,
+                )
+                return body(*arrs)
+
+            fn = jax.jit(f)
+            self._jit_cache[name] = fn
+        return fn
+
+    def _use_dp_fused(self) -> bool:
+        return (
+            self.sp_axis is None
+            and self.dp_axis is not None
+            and self.rns._uniform_pallas()
+        )
+
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._use_dp_fused():
+            from ..ops import ntt_kernel
+
+            r0 = self.rns.rings[0]
+            params_tuple = tuple(r.params for r in self.rns.rings)
+            return self._dp_fused(
+                "ntt_fused",
+                lambda v: ntt_kernel.fwd_ntt_rns(
+                    v, params_tuple,
+                    block_rows=r0.block_rows, interpret=r0.interpret,
+                ),
+            )(x)
         return self._stacked("ntt", lambda sr, xi: sr.ntt(xi))(x)
 
     def intt(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._use_dp_fused():
+            from ..ops import ntt_kernel
+
+            r0 = self.rns.rings[0]
+            params_tuple = tuple(r.params for r in self.rns.rings)
+            return self._dp_fused(
+                "intt_fused",
+                lambda v: ntt_kernel.inv_ntt_rns(
+                    v, params_tuple,
+                    block_rows=r0.block_rows, interpret=r0.interpret,
+                ),
+            )(x)
         return self._stacked("intt", lambda sr, xi: sr.intt(xi))(x)
 
     def polymul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if self._use_dp_fused():
+            from ..ops import ntt_kernel
+
+            r0 = self.rns.rings[0]
+            params_tuple = tuple(r.params for r in self.rns.rings)
+            scales = tuple(r.polymul_scale for r in self.rns.rings)
+            qinv_negs = tuple(r.qinv_neg for r in self.rns.rings)
+            return self._dp_fused(
+                "polymul_fused",
+                lambda x, y: ntt_kernel.polymul_rns_fused(
+                    x, y, params_tuple, scales=scales, qinv_negs=qinv_negs,
+                    block_rows=r0.block_rows, interpret=r0.interpret,
+                ),
+            )(a, b)
         return self._stacked(
             "polymul", lambda sr, ai, bi: sr.polymul(ai, bi)
         )(a, b)

@@ -42,3 +42,34 @@ def test_sharded_ntt_always_matches_golden(n, sp, with_dp, method, seed):
     assert (got == G.fwd_ntt_u32(x, ring.params)).all()
     back = np.asarray(sr.intt(sr.ntt(sr.shard(x))))
     assert (back == x).all()
+
+
+def test_sharded_rns_dp_fused_kernel(rng):
+    """Round-2: dp-only ShardedRNSRing runs ONE shard_map over the fused
+    multi-prime kernel (interpret mode exercises it on the CPU mesh)."""
+    import jax.numpy as jnp
+
+    from agilex_ntt_tpu import RNSRing
+    from agilex_ntt_tpu.parallel import ShardedRNSRing, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    n, L = 256, 3
+    rns_i = RNSRing(n, num_primes=L, backend="pallas", interpret=True)
+    rns_oracle = RNSRing(n, num_primes=L, backend="xla")
+    mesh = make_mesh(dp=8)
+    srns = ShardedRNSRing(rns_i, mesh, dp_axis="dp")
+    assert srns._use_dp_fused()
+    x = np.stack([
+        rng.integers(0, r.q, size=(16, n), dtype=np.uint32)
+        for r in rns_i.rings
+    ])
+    got = np.asarray(srns.ntt(srns.shard(jnp.asarray(x))))
+    want = np.asarray(rns_oracle.ntt(x))
+    assert (got == want).all()
+    pm = np.asarray(srns.polymul(srns.shard(jnp.asarray(x)),
+                                 srns.shard(jnp.asarray(x))))
+    want_pm = np.asarray(rns_oracle.polymul(x, x))
+    assert (pm == want_pm).all()
+    back = np.asarray(srns.intt(srns.shard(jnp.asarray(got))))
+    assert (back == x).all()
