@@ -22,17 +22,23 @@ $(BUILD)/libnttcore.so: csrc/nttcore.c
 	mkdir -p $(BUILD)
 	$(CC) $(CFLAGS) -o $@ $<
 
+# Persistent XLA compile cache (opt-in via agilex_ntt_tpu/__init__.py):
+# several round-2 kernels take minutes to compile cold through the remote
+# Mosaic toolchain (four-step full fuse at n=2^20, fused polymuls); caching
+# in-repo (.jax_cache/ is gitignored) makes repeat hardware runs fast.
+CACHE := NTT_TPU_COMPILE_CACHE=$(CURDIR)/.jax_cache
+
 test: native
 	python -m pytest tests/ -x -q
 
 test_hw: native
-	NTT_TPU_REAL_DEVICE=1 python -m pytest tests/ -x -q
+	NTT_TPU_REAL_DEVICE=1 $(CACHE) python -m pytest tests/ -x -q
 
 report:
 	python -m agilex_ntt_tpu.utils.report
 
 bench:
-	python bench.py
+	$(CACHE) python bench.py
 
 clean:
 	rm -rf $(BUILD) report_out

@@ -623,7 +623,30 @@ class CyclicRing:
         return mont_mul_lazy(_as_u32(a), _as_u32(b), self.q, self.qinv_neg)
 
     def polymul(self, a, b) -> jnp.ndarray:
-        """Cyclic convolution a*b mod (X^n - 1, q), one jitted computation."""
+        """Cyclic convolution a*b mod (X^n - 1, q).
+
+        On the radix-2 Pallas path all three phases run as ONE kernel on
+        the resident tile (the stage machinery is table-driven, so the
+        negacyclic ``polymul_fused`` works unchanged with cyclic tables);
+        otherwise one jitted composition.
+        """
+        if self.method == "radix2" and self.backend == "pallas":
+
+            def build():
+                def f(x, y):
+                    x, y = jnp.broadcast_arrays(x, y)
+                    xf, lead, bb = self._flatten(x)
+                    yf, _, _ = self._flatten(y)
+                    out = ntt_kernel.polymul_fused(
+                        xf, yf, self.params,
+                        scale=self.polymul_scale, qinv_neg=self.qinv_neg,
+                        block_rows=self.block_rows, interpret=self.interpret,
+                    )
+                    return self._unflatten(out, lead, bb)
+
+                return f
+
+            return self._jitted("polymul_fused", build)(_as_u32(a), _as_u32(b))
         fn = self._jitted(
             "polymul",
             lambda: lambda x, y: self.intt(

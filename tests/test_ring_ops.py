@@ -212,3 +212,18 @@ def test_cyclic_rejects_oversized_and_composite_q():
         CyclicRing(256, q=2147483137)  # 31-bit prime, q % n == 1
     with pytest.raises(ValueError, match="not prime"):
         CyclicRing(256, q=257 * 769)  # composite, ≡ 1 (mod 256), < 2**30
+
+
+def test_cyclic_polymul_fused_interpret(rng):
+    """Round-2: CyclicRing.polymul as one kernel (cyclic tables through the
+    negacyclic polymul_fused machinery), interpret mode vs XLA composition."""
+    from agilex_ntt_tpu import CyclicRing
+
+    n = 256
+    rp = CyclicRing(n, backend="pallas", interpret=True)
+    rx = CyclicRing(n, backend="xla")
+    a = rng.integers(0, rp.q, size=(5, n), dtype=np.uint32)
+    b = rng.integers(0, rp.q, size=(5, n), dtype=np.uint32)
+    got = np.asarray(rp.polymul(a, b))
+    want = np.asarray(rx.polymul(a, b))
+    assert (got == want).all()
