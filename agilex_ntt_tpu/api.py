@@ -810,7 +810,38 @@ class RNSRing:
 
     def polydot(self, a, b) -> jnp.ndarray:
         """Per-channel fused inner product: shapes (L, ..., k, n)."""
-        return self._map("polydot", jnp.asarray(a), jnp.asarray(b))
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        if self._uniform_pallas() and a.ndim >= 3:
+            r0 = self.rings[0]
+            params_tuple = tuple(r.params for r in self.rings)
+            scales = tuple(r.polymul_scale for r in self.rings)
+            qinv_negs = tuple(r.qinv_neg for r in self.rings)
+            L, n = self.L, self.n
+            fn = self._jit_cache.get("polydot_fused")
+            if fn is None:
+
+                def f(x, y):
+                    lead = x.shape[1:-2]
+                    k = x.shape[-2]
+                    bb = int(np.prod(lead, dtype=np.int64)) if lead else 1
+                    xf = x.reshape(L, bb, k, n)
+                    yf = y.reshape(L, bb, k, n)
+                    pad = (-bb) % 8
+                    if pad:
+                        zeros = ((0, 0), (0, pad), (0, 0), (0, 0))
+                        xf = jnp.pad(xf, zeros)
+                        yf = jnp.pad(yf, zeros)
+                    out = ntt_kernel.polydot_rns_fused(
+                        xf, yf, params_tuple, scales=scales,
+                        qinv_negs=qinv_negs,
+                        block_rows=r0.block_rows, interpret=r0.interpret,
+                    )
+                    return out[:, :bb].reshape(x.shape[:-2] + (n,))
+
+                fn = jax.jit(f)
+                self._jit_cache["polydot_fused"] = fn
+            return fn(a, b)
+        return self._map("polydot", a, b)
 
     def _map_static(self, key, per_ring) -> "jnp.ndarray":
         """Like _map but for ops parameterized by static values (k, domain):

@@ -514,6 +514,100 @@ def polymul_rns_fused(
     )
 
 
+def _polydot_rns_kernel(
+    q_ref, qinv_ref, a_ref, b_ref, fw, fp0, fp1, iw, ip0, ip1, o_ref, *,
+    k, fwd_ts, inv_ts,
+):
+    q = q_ref[pl.program_id(0), 0]
+    qinv_neg = qinv_ref[pl.program_id(0), 0]
+    row = lambda tab: (lambda s: tab[s : s + 1, :])
+    fwv, fp0v, fp1v = fw[0], fp0[0], fp1[0]
+    two_q = q + q
+    acc = None
+    for i in range(k):
+        fa = fwd_stages(
+            a_ref[0, :, i, :], row(fwv), row(fp0v), row(fp1v),
+            ts=fwd_ts, q=q, final_reduce=True, roll=_pallas_roll,
+        )
+        fb = fwd_stages(
+            b_ref[0, :, i, :], row(fwv), row(fp0v), row(fp1v),
+            ts=fwd_ts, q=q, final_reduce=True, roll=_pallas_roll,
+        )
+        term = mont_mul_lazy(fa, fb, q, qinv_neg)
+        acc = term if acc is None else cond_sub(acc + term, two_q)
+    o_ref[0] = inv_stages(
+        acc, row(iw[0]), row(ip0[0]), row(ip1[0]),
+        ts=inv_ts, q=q, roll=_pallas_roll, scale_in_tables=True,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params_tuple", "scales", "qinv_negs", "block_rows",
+                     "interpret"),
+)
+def polydot_rns_fused(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    params_tuple,
+    *,
+    scales,
+    qinv_negs,
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inner product sum_i a_i * b_i over L prime channels as ONE kernel.
+
+    a, b: (L, batch, k, n).  The channel rides the grid like the other RNS
+    kernels; within a grid step the k-term accumulation happens on the
+    resident tile (see polydot_fused).
+    """
+    L, batch, k, n = a.shape
+    logn = params_tuple[0].log_n
+    fwd_ts = tuple(n >> (s + 1) for s in range(logn))
+    inv_ts = tuple(1 << s for s in range(logn))
+    fw = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).w)
+    fp0 = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p0)
+    fp1 = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p1)
+    itabs = [
+        st.inv_stage_tables_scaled(p, s)
+        for p, s in zip(params_tuple, scales)
+    ]
+    iw = np.stack([np.asarray(t.w) for t in itabs])
+    ip0 = np.stack([np.asarray(t.p0) for t in itabs])
+    ip1 = np.stack([np.asarray(t.p1) for t in itabs])
+    qs = np.array([[p.q] for p in params_tuple], dtype=np.uint32)
+    qinvs = np.array([[v] for v in qinv_negs], dtype=np.uint32)
+    br = _pick_block_rows(batch, k * n, block_rows)
+    grid = (L, batch // br)
+    q_spec = pl.BlockSpec(
+        (L, 1), lambda l, i: (0, 0), memory_space=pltpu.SMEM
+    )
+    x_spec = pl.BlockSpec(
+        (1, br, k, n), lambda l, i: (l, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec(
+        (1, br, n), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM
+    )
+    tab_spec = pl.BlockSpec(
+        (1, logn, n), lambda l, i: (l, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_polydot_rns_kernel, k=k, fwd_ts=fwd_ts,
+                          inv_ts=inv_ts),
+        grid=grid,
+        in_specs=[q_spec, q_spec, x_spec, x_spec] + [tab_spec] * 6,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((L, batch, n), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(**_RNS_COMPILER_PARAMS),
+        interpret=interpret,
+    )(
+        jnp.asarray(qs), jnp.asarray(qinvs), a, b,
+        jnp.asarray(fw), jnp.asarray(fp0), jnp.asarray(fp1),
+        jnp.asarray(iw), jnp.asarray(ip0), jnp.asarray(ip1),
+    )
+
+
 def _polydot_kernel(
     a_ref, b_ref, fw, fp0, fp1, iw, ip0, ip1, o_ref, *,
     k, fwd_ts, inv_ts, q, qinv_neg,

@@ -170,3 +170,33 @@ def test_rns_single_kernel_interpret_bit_exact(rng):
     )
     want_pm = np.asarray(rns.polymul(a, x))
     assert (pm == want_pm).all()
+
+
+def test_rns_polydot_single_kernel_interpret(rng):
+    """Round-2 channel-fused polydot vs the per-channel composition."""
+    import jax.numpy as jnp
+
+    from agilex_ntt_tpu import RNSRing
+    from agilex_ntt_tpu.ops import ntt_kernel as K
+
+    n, L, kk, B = 256, 3, 2, 8
+    rns = RNSRing(n, num_primes=L, backend="xla")  # composed oracle
+    params_tuple = tuple(r.params for r in rns.rings)
+    a = np.stack([
+        rng.integers(0, r.q, size=(B, kk, n), dtype=np.uint32)
+        for r in rns.rings
+    ])
+    b = np.stack([
+        rng.integers(0, r.q, size=(B, kk, n), dtype=np.uint32)
+        for r in rns.rings
+    ])
+    got = np.asarray(
+        K.polydot_rns_fused(
+            jnp.asarray(a), jnp.asarray(b), params_tuple,
+            scales=tuple(r.polymul_scale for r in rns.rings),
+            qinv_negs=tuple(r.qinv_neg for r in rns.rings),
+            interpret=True,
+        )
+    )
+    want = np.asarray(rns.polydot(a, b))
+    assert (got == want).all()
