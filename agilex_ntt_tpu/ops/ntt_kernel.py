@@ -125,12 +125,24 @@ def _inv_kernel(
     )
 
 
+# Measured per-width block_rows optima (v5e, round 2, profiler-timed fwd
+# sweep; non-monotonic in block bytes, so a lookup instead of a formula):
+#   4096: 64->3.585, 128->3.645 M NTT/s        (128 wins)
+#   8192: 64->1.595, 128->1.429, 256->1.515     (64 wins)
+#  16384: 32->0.580, 64->0.648, 128->0.685      (128 wins)
+#  32768: 16->0.252, 32->0.286, 64->0.310       (64 wins; 128 compile >23min)
+_BEST_BLOCK_ROWS = {4096: 128, 8192: 64, 16384: 128, 32768: 64}
+
+
 def _pick_block_rows(batch: int, width: int, requested: Optional[int]) -> int:
     explicit = requested is not None
     if not explicit:
-        # target ~2 MiB grid blocks: narrow widths (four-step passes) need
-        # many rows per block or per-step DMA overhead dominates (measured
-        # 1.4x at width 256); wide transforms bottom out at 64 rows
+        requested = _BEST_BLOCK_ROWS.get(width)
+    if requested is None:
+        # untuned widths: target ~2 MiB grid blocks — narrow widths
+        # (four-step passes) need many rows per block or per-step DMA
+        # overhead dominates (measured 1.4x at width 256); wide transforms
+        # bottom out at 64 rows
         requested = min(512, max(DEFAULT_BLOCK_ROWS, (1 << 20) // (4 * width)))
     # snap to the largest divisor of batch <= requested (halving could
     # collapse a non-dividing request like 48@batch=64 all the way to
