@@ -352,10 +352,13 @@ class Ring:
             self.method == "radix2"
             and self.backend == "pallas"
             and self.n >= MIN_KERNEL_N
+            and a.shape[-2] * self.n * 4 <= ntt_kernel.POLYDOT_FUSE_WIDTH_BYTES
         ):
             # single-kernel path: 2k transforms + pointwise accumulation +
             # one inverse on the resident tile (bit-identical accumulation
-            # order to the composition below)
+            # order to the composition below); large k*n streams through
+            # the composed path instead (two resident operand tiles would
+            # not fit VMEM)
             def build_fused():
                 def f(x, y):
                     lead = x.shape[:-2]
@@ -755,7 +758,7 @@ class RNSRing:
         return fn
 
     def ntt(self, x) -> jnp.ndarray:
-        x = jnp.asarray(x)
+        x = _as_u32(x)  # same truncating-cast contract as the _map path
         if self._uniform_pallas():
             self._check(x)
             r0 = self.rings[0]
@@ -770,7 +773,7 @@ class RNSRing:
         return self._map("ntt", x)
 
     def intt(self, x) -> jnp.ndarray:
-        x = jnp.asarray(x)
+        x = _as_u32(x)
         if self._uniform_pallas():
             self._check(x)
             r0 = self.rings[0]
@@ -785,7 +788,7 @@ class RNSRing:
         return self._map("intt", x)
 
     def polymul(self, a, b) -> jnp.ndarray:
-        a, b = jnp.asarray(a), jnp.asarray(b)
+        a, b = _as_u32(a), _as_u32(b)
         if self._uniform_pallas():
             self._check(a)
             self._check(b)
@@ -810,8 +813,20 @@ class RNSRing:
 
     def polydot(self, a, b) -> jnp.ndarray:
         """Per-channel fused inner product: shapes (L, ..., k, n)."""
-        a, b = jnp.asarray(a), jnp.asarray(b)
-        if self._uniform_pallas() and a.ndim >= 3:
+        a, b = _as_u32(a), _as_u32(b)
+        if a.shape != b.shape or a.ndim < 3 or a.shape[-1] != self.n:
+            raise ValueError(
+                f"polydot expects matching (L, ..., k, n={self.n}) shapes, "
+                f"got {a.shape} and {b.shape}"
+            )
+        self._check(a)
+        # cap like use_polymul_fuse: the fused kernel holds two (br, k, n)
+        # operand tiles resident — huge k*n widths must stream through the
+        # composed per-channel path instead
+        if (
+            self._uniform_pallas()
+            and a.shape[-2] * self.n * 4 <= ntt_kernel.POLYDOT_FUSE_WIDTH_BYTES
+        ):
             r0 = self.rings[0]
             params_tuple = tuple(r.params for r in self.rings)
             scales = tuple(r.polymul_scale for r in self.rings)

@@ -526,6 +526,27 @@ def polymul_rns_fused(
     )
 
 
+# Routing cap for the single-kernel polydot forms: two (br, k, n) operand
+# tiles sit resident per grid step, so the fused path only applies while
+# one operand row (k*n*4 bytes) is small enough that even a few-row block
+# fits VMEM comfortably; larger k*n streams through the composed
+# per-transform path (which works in (bb*k, n) blocks).
+POLYDOT_FUSE_WIDTH_BYTES = 1 << 19
+
+
+def _pick_polydot_rows(batch: int, k: int, n: int,
+                       requested: Optional[int]) -> int:
+    """Block rows for (br, k, n) operand tiles: target ~2 MiB per operand
+    block (the generic _pick_block_rows formula floors at 64 rows, which at
+    k*n widths could blow past the VMEM budget)."""
+    if requested is None:
+        requested = max(1, (2 << 20) // (4 * k * n))
+    b = min(requested, batch)
+    while batch % b:
+        b -= 1
+    return b
+
+
 def _polydot_rns_kernel(
     q_ref, qinv_ref, a_ref, b_ref, fw, fp0, fp1, iw, ip0, ip1, o_ref, *,
     k, fwd_ts, inv_ts,
@@ -590,7 +611,7 @@ def polydot_rns_fused(
     ip1 = np.stack([np.asarray(t.p1) for t in itabs])
     qs = np.array([[p.q] for p in params_tuple], dtype=np.uint32)
     qinvs = np.array([[v] for v in qinv_negs], dtype=np.uint32)
-    br = _pick_block_rows(batch, k * n, block_rows)
+    br = _pick_polydot_rows(batch, k, n, block_rows)
     grid = (L, batch // br)
     q_spec = pl.BlockSpec(
         (L, 1), lambda l, i: (0, 0), memory_space=pltpu.SMEM
@@ -671,7 +692,7 @@ def polydot_fused(
     logn = params.log_n
     fwd_ts = tuple(n >> (s + 1) for s in range(logn))
     inv_ts = tuple(1 << s for s in range(logn))
-    br = _pick_block_rows(batch, k * n, block_rows)
+    br = _pick_polydot_rows(batch, k, n, block_rows)
     grid = (batch // br,)
     x_spec = pl.BlockSpec(
         (br, k, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

@@ -332,18 +332,33 @@ class ShardedRNSRing:
     def _dp_fused(self, name: str, kernel_call):
         """dp-only sharding of the single-kernel multi-prime transforms:
         ONE shard_map whose body runs the fused RNS kernel on the local
-        (L, B/P, n) shard — instead of L separate shard_maps (round 2)."""
+        (L, B/P, n) shard — instead of L separate shard_maps (round 2).
+        Remainder-frame batches pad to the dp axis and slice back, exactly
+        like ShardedRing (the unpad all-gathers the batch axis first: an
+        uneven slice of a sharded dim is rejected by the type system)."""
         fn = self._jit_cache.get(name)
         if fn is None:
             spec = P(None, self.dp_axis, None)
+            P_dp = self.mesh.shape[self.dp_axis]
+            unshard = NamedSharding(self.mesh, P(None, None, None))
 
             def f(*arrs):
+                b = arrs[0].shape[1]
+                pad = (-b) % P_dp
+                if pad:
+                    arrs = [
+                        jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in arrs
+                    ]
                 body = jax.shard_map(
                     kernel_call, mesh=self.mesh,
                     in_specs=(spec,) * len(arrs), out_specs=spec,
                     check_vma=False,
                 )
-                return body(*arrs)
+                out = body(*arrs)
+                if pad:
+                    out = jax.lax.with_sharding_constraint(out, unshard)
+                    out = jax.lax.slice_in_dim(out, 0, b, axis=1)
+                return out
 
             fn = jax.jit(f)
             self._jit_cache[name] = fn
@@ -357,6 +372,7 @@ class ShardedRNSRing:
         )
 
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=jnp.uint32)
         if self._use_dp_fused():
             from ..ops import ntt_kernel
 
@@ -372,6 +388,7 @@ class ShardedRNSRing:
         return self._stacked("ntt", lambda sr, xi: sr.ntt(xi))(x)
 
     def intt(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(x, dtype=jnp.uint32)
         if self._use_dp_fused():
             from ..ops import ntt_kernel
 
@@ -387,6 +404,8 @@ class ShardedRNSRing:
         return self._stacked("intt", lambda sr, xi: sr.intt(xi))(x)
 
     def polymul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        a = jnp.asarray(a, dtype=jnp.uint32)
+        b = jnp.asarray(b, dtype=jnp.uint32)
         if self._use_dp_fused():
             from ..ops import ntt_kernel
 

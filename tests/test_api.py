@@ -176,3 +176,32 @@ def test_explicit_block_rows_warns_when_not_dividing():
         warnings.simplefilter("error")  # auto pick must stay silent
         assert _pick_block_rows(64, 4096, None) > 0
         assert _pick_block_rows(64, 4096, 32) == 32  # dividing: silent
+
+
+def test_rns_fused_paths_cast_signed_inputs(rng):
+    """Code-review round 2: the fused RNS paths must apply the same
+    truncating uint32 cast as the stacked path (int64 numpy input)."""
+    from agilex_ntt_tpu import RNSRing
+
+    n, L = 256, 2
+    fused = RNSRing(n, num_primes=L, backend="pallas", interpret=True)
+    oracle = RNSRing(n, num_primes=L, backend="xla")
+    x64 = np.stack([
+        rng.integers(0, r.q, size=(4, n)).astype(np.int64)
+        for r in fused.rings
+    ])
+    assert (np.asarray(fused.ntt(x64)) == np.asarray(oracle.ntt(x64))).all()
+    assert (
+        np.asarray(fused.polymul(x64, x64))
+        == np.asarray(oracle.polymul(x64, x64))
+    ).all()
+
+
+def test_rns_polydot_validates_shapes():
+    from agilex_ntt_tpu import RNSRing
+
+    rns = RNSRing(256, num_primes=2, backend="pallas", interpret=True)
+    a = np.zeros((2, 2, 4, 256), np.uint32)
+    b = np.zeros((2, 4, 2, 256), np.uint32)  # same element count, wrong shape
+    with pytest.raises(ValueError, match="matching"):
+        rns.polydot(a, b)

@@ -73,3 +73,27 @@ def test_sharded_rns_dp_fused_kernel(rng):
     assert (pm == want_pm).all()
     back = np.asarray(srns.intt(srns.shard(jnp.asarray(got))))
     assert (back == x).all()
+
+
+def test_sharded_rns_dp_fused_uneven_batch(rng):
+    """Code-review round 2: the dp-fused RNS path must support
+    remainder-frame batches like the stacked fallback."""
+    import jax.numpy as jnp
+
+    from agilex_ntt_tpu import RNSRing
+    from agilex_ntt_tpu.parallel import ShardedRNSRing, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    n, L = 256, 2
+    rns_i = RNSRing(n, num_primes=L, backend="pallas", interpret=True)
+    oracle = RNSRing(n, num_primes=L, backend="xla")
+    srns = ShardedRNSRing(rns_i, make_mesh(dp=8), dp_axis="dp")
+    assert srns._use_dp_fused()
+    x = np.stack([
+        rng.integers(0, r.q, size=(13, n), dtype=np.uint32)
+        for r in rns_i.rings
+    ])
+    got = np.asarray(srns.ntt(jnp.asarray(x)))
+    assert got.shape == x.shape
+    assert (got == np.asarray(oracle.ntt(x))).all()
