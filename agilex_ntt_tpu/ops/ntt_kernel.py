@@ -397,6 +397,87 @@ _RNS_COMPILER_PARAMS = dict(
 )
 
 
+def fwd_ntt_rns_tables(
+    x: jnp.ndarray,
+    qs: jnp.ndarray,
+    w: jnp.ndarray,
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    *,
+    ts,
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Table-operand core of fwd_ntt_rns: qs (L, 1) uint32 moduli and
+    (L, log n, n) stage tables arrive as ARRAYS, so a channel-parallel
+    shard_map can shard them over a mesh axis along with x (the RNS analog
+    of expert parallelism; see parallel/mesh.ShardedRNSRing ch_axis)."""
+    L, batch, n = x.shape
+    logn = len(ts)
+    grid, q_spec, x_spec, tab_spec = _rns_specs(L, batch, n, logn, block_rows)
+    return pl.pallas_call(
+        functools.partial(_fwd_rns_kernel, ts=ts),
+        grid=grid,
+        in_specs=[q_spec, x_spec, tab_spec, tab_spec, tab_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((L, batch, n), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(**_RNS_COMPILER_PARAMS),
+        interpret=interpret,
+    )(qs, x, w, p0, p1)
+
+
+def rns_fwd_tables(params_tuple):
+    """(qs, w, p0, p1) numpy bundle for fwd_ntt_rns_tables."""
+    return (
+        np.array([[p.q] for p in params_tuple], dtype=np.uint32),
+        _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).w),
+        _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p0),
+        _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p1),
+    )
+
+
+def rns_inv_tables(params_tuple, scales=None):
+    """(qs, w, p0, p1) numpy bundle for inv_ntt_rns_tables (scaled)."""
+    if scales is None:
+        scales = tuple(p.n_inv for p in params_tuple)
+    tabs = [
+        st.inv_stage_tables_scaled(p, s)
+        for p, s in zip(params_tuple, scales)
+    ]
+    return (
+        np.array([[p.q] for p in params_tuple], dtype=np.uint32),
+        np.stack([np.asarray(t.w) for t in tabs]),
+        np.stack([np.asarray(t.p0) for t in tabs]),
+        np.stack([np.asarray(t.p1) for t in tabs]),
+    )
+
+
+def inv_ntt_rns_tables(
+    x: jnp.ndarray,
+    qs: jnp.ndarray,
+    w: jnp.ndarray,
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    *,
+    ts,
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Table-operand core of inv_ntt_rns (tables already scale-folded)."""
+    L, batch, n = x.shape
+    logn = len(ts)
+    grid, q_spec, x_spec, tab_spec = _rns_specs(L, batch, n, logn, block_rows)
+    return pl.pallas_call(
+        functools.partial(_inv_rns_kernel, ts=ts),
+        grid=grid,
+        in_specs=[q_spec, x_spec, tab_spec, tab_spec, tab_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((L, batch, n), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(**_RNS_COMPILER_PARAMS),
+        interpret=interpret,
+    )(qs, x, w, p0, p1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("params_tuple", "block_rows", "interpret")
 )
@@ -412,23 +493,14 @@ def fwd_ntt_rns(
     params_tuple: L NTTParams sharing n.  Output [0, q_l) per channel,
     bit-identical to running fwd_ntt per channel.
     """
-    L, batch, n = x.shape
+    n = x.shape[2]
     logn = params_tuple[0].log_n
     ts = tuple(n >> (s + 1) for s in range(logn))
-    w = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).w)
-    p0 = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p0)
-    p1 = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p1)
-    qs = np.array([[p.q] for p in params_tuple], dtype=np.uint32)
-    grid, q_spec, x_spec, tab_spec = _rns_specs(L, batch, n, logn, block_rows)
-    return pl.pallas_call(
-        functools.partial(_fwd_rns_kernel, ts=ts),
-        grid=grid,
-        in_specs=[q_spec, x_spec, tab_spec, tab_spec, tab_spec],
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((L, batch, n), jnp.uint32),
-        compiler_params=pltpu.CompilerParams(**_RNS_COMPILER_PARAMS),
-        interpret=interpret,
-    )(jnp.asarray(qs), x, jnp.asarray(w), jnp.asarray(p0), jnp.asarray(p1))
+    qs, w, p0, p1 = rns_fwd_tables(params_tuple)
+    return fwd_ntt_rns_tables(
+        x, jnp.asarray(qs), jnp.asarray(w), jnp.asarray(p0), jnp.asarray(p1),
+        ts=ts, block_rows=block_rows, interpret=interpret,
+    )
 
 
 @functools.partial(
@@ -449,29 +521,14 @@ def inv_ntt_rns(
     each in [0, q_l)); defaults to n^-1 mod q_l.  Scaling rides each
     channel's last-stage twiddle row exactly like the single-ring kernel.
     """
-    L, batch, n = x.shape
+    n = x.shape[2]
     logn = params_tuple[0].log_n
     ts = tuple(1 << s for s in range(logn))
-    if scales is None:
-        scales = tuple(p.n_inv for p in params_tuple)
-    tabs = [
-        st.inv_stage_tables_scaled(p, s)
-        for p, s in zip(params_tuple, scales)
-    ]
-    w = np.stack([np.asarray(t.w) for t in tabs])
-    p0 = np.stack([np.asarray(t.p0) for t in tabs])
-    p1 = np.stack([np.asarray(t.p1) for t in tabs])
-    qs = np.array([[p.q] for p in params_tuple], dtype=np.uint32)
-    grid, q_spec, x_spec, tab_spec = _rns_specs(L, batch, n, logn, block_rows)
-    return pl.pallas_call(
-        functools.partial(_inv_rns_kernel, ts=ts),
-        grid=grid,
-        in_specs=[q_spec, x_spec, tab_spec, tab_spec, tab_spec],
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((L, batch, n), jnp.uint32),
-        compiler_params=pltpu.CompilerParams(**_RNS_COMPILER_PARAMS),
-        interpret=interpret,
-    )(jnp.asarray(qs), x, jnp.asarray(w), jnp.asarray(p0), jnp.asarray(p1))
+    qs, w, p0, p1 = rns_inv_tables(params_tuple, scales)
+    return inv_ntt_rns_tables(
+        x, jnp.asarray(qs), jnp.asarray(w), jnp.asarray(p0), jnp.asarray(p1),
+        ts=ts, block_rows=block_rows, interpret=interpret,
+    )
 
 
 @functools.partial(

@@ -288,27 +288,51 @@ class ShardedRNSRing:
         dp_axis: Optional[str] = "dp",
         sp_axis: Optional[str] = None,
         sp_method: Optional[str] = None,
+        ch_axis: Optional[str] = None,
     ):
         self.rns = rns
         self.mesh = mesh
         self.dp_axis = dp_axis
         self.sp_axis = sp_axis
+        # ch_axis: shard the PRIME-CHANNEL axis over mesh devices — the RNS
+        # analog of expert parallelism (channels are fully independent, so
+        # the only communication is the initial placement).  Requires the
+        # uniform radix-2 Pallas configuration (the fused kernels take their
+        # per-channel tables as shardable array operands) and L % ch == 0.
+        self.ch_axis = ch_axis
+        if ch_axis is not None:
+            if ch_axis not in mesh.axis_names:
+                raise ValueError(f"axis {ch_axis!r} not in mesh {mesh.axis_names}")
+            if sp_axis is not None:
+                raise ValueError(
+                    "ch_axis cannot combine with sp_axis (shard channels or "
+                    "coefficients, not both)"
+                )
+            if not rns._uniform_pallas():
+                raise ValueError(
+                    "ch_axis needs the uniform radix-2 Pallas configuration"
+                )
+            if rns.L % mesh.shape[ch_axis]:
+                raise ValueError(
+                    f"L={rns.L} must divide the ch axis "
+                    f"({mesh.shape[ch_axis]} devices)"
+                )
         self.srs = [
             ShardedRing(
                 r, mesh, dp_axis=dp_axis, sp_axis=sp_axis, sp_method=sp_method
             )
             for r in rns.rings
-        ]
+        ] if ch_axis is None else []
         self._jit_cache = {}
 
     @property
     def L(self) -> int:
-        return len(self.srs)
+        return self.rns.L
 
     def shard(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Place (L, B, n) residues: channels replicated-indexed, batch over
+        """Place (L, B, n) residues: channels over ch (if set), batch over
         dp, coefficients over sp."""
-        spec = P(None, self.dp_axis, self.sp_axis)
+        spec = P(self.ch_axis, self.dp_axis, self.sp_axis)
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def _stacked(self, name: str, per_channel):
@@ -368,11 +392,106 @@ class ShardedRNSRing:
         return (
             self.sp_axis is None
             and self.dp_axis is not None
+            and self.ch_axis is None
             and self.rns._uniform_pallas()
         )
 
+    def _ch_op(self, name: str, *arrs):
+        """Channel-parallel execution: ONE shard_map sharding the prime-
+        channel axis (and optionally the batch over dp) with the fused RNS
+        kernels' table operands sharded alongside — each device transforms
+        its own channels with its own tables/moduli, zero collectives.
+        The RNS analog of expert parallelism (SURVEY.md §2: the reference
+        has no EP; prime channels are this workload's 'experts')."""
+        from ..ops import ntt_kernel as K
+        from ..ops.modmul import mont_mul_lazy
+
+        fn = self._jit_cache.get(("ch", name))
+        if fn is None:
+            r0 = self.rns.rings[0]
+            params_tuple = tuple(r.params for r in self.rns.rings)
+            n = self.rns.n
+            logn = params_tuple[0].log_n
+            ts_f = tuple(n >> (s + 1) for s in range(logn))
+            ts_i = tuple(1 << s for s in range(logn))
+            kw = dict(block_rows=r0.block_rows, interpret=r0.interpret)
+            x_spec = P(self.ch_axis, self.dp_axis, None)
+            q_spec = P(self.ch_axis, None)
+            t_spec = P(self.ch_axis, None, None)
+            P_dp = self.mesh.shape[self.dp_axis] if self.dp_axis else 1
+            unshard = NamedSharding(
+                self.mesh, P(self.ch_axis, None, None)
+            )
+
+            if name in ("ntt", "intt"):
+                bundle = (
+                    K.rns_fwd_tables(params_tuple)
+                    if name == "ntt"
+                    else K.rns_inv_tables(params_tuple)
+                )
+                core = (
+                    K.fwd_ntt_rns_tables if name == "ntt"
+                    else K.inv_ntt_rns_tables
+                )
+                ts = ts_f if name == "ntt" else ts_i
+
+                def body(v, qs, w, p0, p1):
+                    return core(v, qs, w, p0, p1, ts=ts, **kw)
+
+                in_specs = (x_spec, q_spec, t_spec, t_spec, t_spec)
+            else:  # polymul
+                fqs, fw, fp0, fp1 = K.rns_fwd_tables(params_tuple)
+                _, iw, ip0, ip1 = K.rns_inv_tables(
+                    params_tuple,
+                    tuple(r.polymul_scale for r in self.rns.rings),
+                )
+                qinvs = np.array(
+                    [[r.qinv_neg] for r in self.rns.rings], dtype=np.uint32
+                )
+                bundle = (fqs, qinvs, fw, fp0, fp1, iw, ip0, ip1)
+
+                def body(a, b, qs, qinv, fw_, fp0_, fp1_, iw_, ip0_, ip1_):
+                    fa = K.fwd_ntt_rns_tables(a, qs, fw_, fp0_, fp1_,
+                                              ts=ts_f, **kw)
+                    fb = K.fwd_ntt_rns_tables(b, qs, fw_, fp0_, fp1_,
+                                              ts=ts_f, **kw)
+                    prod = mont_mul_lazy(
+                        fa, fb, qs[:, :, None], qinv[:, :, None]
+                    )
+                    return K.inv_ntt_rns_tables(prod, qs, iw_, ip0_, ip1_,
+                                                ts=ts_i, **kw)
+
+                in_specs = (x_spec, x_spec, q_spec, q_spec,
+                            t_spec, t_spec, t_spec, t_spec, t_spec, t_spec)
+
+            tables = tuple(jnp.asarray(t) for t in bundle)
+
+            def f(*data):
+                b = data[0].shape[1]
+                pad = (-b) % P_dp
+                if pad:
+                    data = tuple(
+                        jnp.pad(a, ((0, 0), (0, pad), (0, 0))) for a in data
+                    )
+                sm = jax.shard_map(
+                    body, mesh=self.mesh, in_specs=in_specs,
+                    out_specs=x_spec, check_vma=False,
+                )
+                out = sm(*data, *tables)
+                if pad:
+                    out = jax.lax.with_sharding_constraint(out, unshard)
+                    out = jax.lax.slice_in_dim(out, 0, b, axis=1)
+                return out
+
+            fn = jax.jit(f)
+            self._jit_cache[("ch", name)] = fn
+        assert len(arrs) in (1, 2)
+        return fn(*arrs)
+
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.asarray(x, dtype=jnp.uint32)
+        if self.ch_axis is not None:
+            return self._ch_op("ntt", x)
         if self._use_dp_fused():
             from ..ops import ntt_kernel
 
@@ -389,6 +508,8 @@ class ShardedRNSRing:
 
     def intt(self, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.asarray(x, dtype=jnp.uint32)
+        if self.ch_axis is not None:
+            return self._ch_op("intt", x)
         if self._use_dp_fused():
             from ..ops import ntt_kernel
 
@@ -406,6 +527,8 @@ class ShardedRNSRing:
     def polymul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a = jnp.asarray(a, dtype=jnp.uint32)
         b = jnp.asarray(b, dtype=jnp.uint32)
+        if self.ch_axis is not None:
+            return self._ch_op("polymul", a, b)
         if self._use_dp_fused():
             from ..ops import ntt_kernel
 

@@ -97,3 +97,35 @@ def test_sharded_rns_dp_fused_uneven_batch(rng):
     got = np.asarray(srns.ntt(jnp.asarray(x)))
     assert got.shape == x.shape
     assert (got == np.asarray(oracle.ntt(x))).all()
+
+
+@pytest.mark.parametrize("axes", [dict(ch=4, dp=2), dict(ch=2, dp=4)])
+def test_sharded_rns_channel_parallel(rng, axes):
+    """Round-2 channel parallelism (the RNS analog of expert parallelism):
+    prime channels shard over a mesh axis with their tables; bit-exact vs
+    the single-host RNSRing, including a remainder-frame batch."""
+    import jax.numpy as jnp
+
+    from agilex_ntt_tpu import RNSRing
+    from agilex_ntt_tpu.parallel import ShardedRNSRing, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    n, L = 256, 4
+    rns_i = RNSRing(n, num_primes=L, backend="pallas", interpret=True)
+    oracle = RNSRing(n, num_primes=L, backend="xla")
+    mesh = make_mesh(**axes)
+    srns = ShardedRNSRing(rns_i, mesh, dp_axis="dp", ch_axis="ch")
+    x = np.stack([
+        rng.integers(0, r.q, size=(6, n), dtype=np.uint32)  # 6 % dp != 0
+        for r in rns_i.rings
+    ])
+    # NOTE: remainder batches are passed unsharded (shard() is an eager
+    # device_put and cannot place a non-divisible batch; the jitted ops
+    # pad, place, and slice internally)
+    got = np.asarray(srns.ntt(jnp.asarray(x)))
+    assert (got == np.asarray(oracle.ntt(x))).all()
+    back = np.asarray(srns.intt(jnp.asarray(got)))
+    assert (back == x).all()
+    pm = np.asarray(srns.polymul(jnp.asarray(x), jnp.asarray(x)))
+    assert (pm == np.asarray(oracle.polymul(x, x))).all()
