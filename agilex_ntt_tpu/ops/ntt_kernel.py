@@ -531,6 +531,39 @@ def inv_ntt_rns(
     )
 
 
+def polymul_rns_tables(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    qs: jnp.ndarray,
+    qinvs: jnp.ndarray,
+    fw: jnp.ndarray,
+    fp0: jnp.ndarray,
+    fp1: jnp.ndarray,
+    iw: jnp.ndarray,
+    ip0: jnp.ndarray,
+    ip1: jnp.ndarray,
+    *,
+    fwd_ts,
+    inv_ts,
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Table-operand core of polymul_rns_fused (see fwd_ntt_rns_tables):
+    the channel-parallel shard_map shards tables/moduli alongside data."""
+    L, batch, n = a.shape
+    logn = len(fwd_ts)
+    grid, q_spec, x_spec, tab_spec = _rns_specs(L, batch, n, logn, block_rows)
+    return pl.pallas_call(
+        functools.partial(_polymul_rns_kernel, fwd_ts=fwd_ts, inv_ts=inv_ts),
+        grid=grid,
+        in_specs=[q_spec, q_spec, x_spec, x_spec] + [tab_spec] * 6,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((L, batch, n), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(**_RNS_COMPILER_PARAMS),
+        interpret=interpret,
+    )(qs, qinvs, a, b, fw, fp0, fp1, iw, ip0, ip1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params_tuple", "scales", "qinv_negs", "block_rows",
@@ -551,35 +584,20 @@ def polymul_rns_fused(
     a, b: (L, batch, n); scales fold n^-1 and the Montgomery R per channel
     (api.Ring.polymul_scale); qinv_negs are the per-channel -q^-1 mod 2^32.
     """
-    L, batch, n = a.shape
+    n = a.shape[2]
     logn = params_tuple[0].log_n
     fwd_ts = tuple(n >> (s + 1) for s in range(logn))
     inv_ts = tuple(1 << s for s in range(logn))
-    fw = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).w)
-    fp0 = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p0)
-    fp1 = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p1)
-    itabs = [
-        st.inv_stage_tables_scaled(p, s)
-        for p, s in zip(params_tuple, scales)
-    ]
-    iw = np.stack([np.asarray(t.w) for t in itabs])
-    ip0 = np.stack([np.asarray(t.p0) for t in itabs])
-    ip1 = np.stack([np.asarray(t.p1) for t in itabs])
-    qs = np.array([[p.q] for p in params_tuple], dtype=np.uint32)
+    qs, fw, fp0, fp1 = rns_fwd_tables(params_tuple)
+    _, iw, ip0, ip1 = rns_inv_tables(params_tuple, scales)
     qinvs = np.array([[v] for v in qinv_negs], dtype=np.uint32)
-    grid, q_spec, x_spec, tab_spec = _rns_specs(L, batch, n, logn, block_rows)
-    return pl.pallas_call(
-        functools.partial(_polymul_rns_kernel, fwd_ts=fwd_ts, inv_ts=inv_ts),
-        grid=grid,
-        in_specs=[q_spec, q_spec, x_spec, x_spec] + [tab_spec] * 6,
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((L, batch, n), jnp.uint32),
-        compiler_params=pltpu.CompilerParams(**_RNS_COMPILER_PARAMS),
-        interpret=interpret,
-    )(
-        jnp.asarray(qs), jnp.asarray(qinvs), a, b,
+    return polymul_rns_tables(
+        a, b,
+        jnp.asarray(qs), jnp.asarray(qinvs),
         jnp.asarray(fw), jnp.asarray(fp0), jnp.asarray(fp1),
         jnp.asarray(iw), jnp.asarray(ip0), jnp.asarray(ip1),
+        fwd_ts=fwd_ts, inv_ts=inv_ts,
+        block_rows=block_rows, interpret=interpret,
     )
 
 

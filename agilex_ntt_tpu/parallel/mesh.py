@@ -301,8 +301,11 @@ class ShardedRNSRing:
         # per-channel tables as shardable array operands) and L % ch == 0.
         self.ch_axis = ch_axis
         if ch_axis is not None:
-            if ch_axis not in mesh.axis_names:
-                raise ValueError(f"axis {ch_axis!r} not in mesh {mesh.axis_names}")
+            for ax in (ch_axis, dp_axis):
+                if ax is not None and ax not in mesh.axis_names:
+                    raise ValueError(
+                        f"axis {ax!r} not in mesh {mesh.axis_names}"
+                    )
             if sp_axis is not None:
                 raise ValueError(
                     "ch_axis cannot combine with sp_axis (shard channels or "
@@ -314,8 +317,8 @@ class ShardedRNSRing:
                 )
             if rns.L % mesh.shape[ch_axis]:
                 raise ValueError(
-                    f"L={rns.L} must divide the ch axis "
-                    f"({mesh.shape[ch_axis]} devices)"
+                    f"the ch axis size ({mesh.shape[ch_axis]} devices) must "
+                    f"divide L={rns.L} (whole channels per device)"
                 )
         self.srs = [
             ShardedRing(
@@ -439,7 +442,7 @@ class ShardedRNSRing:
                     return core(v, qs, w, p0, p1, ts=ts, **kw)
 
                 in_specs = (x_spec, q_spec, t_spec, t_spec, t_spec)
-            else:  # polymul
+            else:  # polymul: the single fused kernel per device shard
                 fqs, fw, fp0, fp1 = K.rns_fwd_tables(params_tuple)
                 _, iw, ip0, ip1 = K.rns_inv_tables(
                     params_tuple,
@@ -451,15 +454,10 @@ class ShardedRNSRing:
                 bundle = (fqs, qinvs, fw, fp0, fp1, iw, ip0, ip1)
 
                 def body(a, b, qs, qinv, fw_, fp0_, fp1_, iw_, ip0_, ip1_):
-                    fa = K.fwd_ntt_rns_tables(a, qs, fw_, fp0_, fp1_,
-                                              ts=ts_f, **kw)
-                    fb = K.fwd_ntt_rns_tables(b, qs, fw_, fp0_, fp1_,
-                                              ts=ts_f, **kw)
-                    prod = mont_mul_lazy(
-                        fa, fb, qs[:, :, None], qinv[:, :, None]
+                    return K.polymul_rns_tables(
+                        a, b, qs, qinv, fw_, fp0_, fp1_, iw_, ip0_, ip1_,
+                        fwd_ts=ts_f, inv_ts=ts_i, **kw,
                     )
-                    return K.inv_ntt_rns_tables(prod, qs, iw_, ip0_, ip1_,
-                                                ts=ts_i, **kw)
 
                 in_specs = (x_spec, x_spec, q_spec, q_spec,
                             t_spec, t_spec, t_spec, t_spec, t_spec, t_spec)
@@ -485,7 +483,8 @@ class ShardedRNSRing:
 
             fn = jax.jit(f)
             self._jit_cache[("ch", name)] = fn
-        assert len(arrs) in (1, 2)
+        for a in arrs:
+            self.rns._check(a)
         return fn(*arrs)
 
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -117,7 +117,7 @@ def test_sharded_rns_channel_parallel(rng, axes):
     mesh = make_mesh(**axes)
     srns = ShardedRNSRing(rns_i, mesh, dp_axis="dp", ch_axis="ch")
     x = np.stack([
-        rng.integers(0, r.q, size=(6, n), dtype=np.uint32)  # 6 % dp != 0
+        rng.integers(0, r.q, size=(5, n), dtype=np.uint32)  # 5 % dp != 0 both ways
         for r in rns_i.rings
     ])
     # NOTE: remainder batches are passed unsharded (shard() is an eager
