@@ -611,11 +611,14 @@ POLYDOT_FUSE_WIDTH_BYTES = 1 << 19
 
 def _pick_polydot_rows(batch: int, k: int, n: int,
                        requested: Optional[int]) -> int:
-    """Block rows for (br, k, n) operand tiles: target ~2 MiB per operand
-    block (the generic _pick_block_rows formula floors at 64 rows, which at
-    k*n widths could blow past the VMEM budget)."""
+    """Block rows for (br, k, n) operand tiles: target ~4 MiB per operand
+    block (measured: 64 rows = 3 MiB beats 32 rows = 1.5 MiB by 5% at k=3,
+    n=4096; the generic _pick_block_rows formula floors at 64 rows, which
+    at the largest fuse-eligible k*n widths would blow past VMEM — at the
+    POLYDOT_FUSE_WIDTH_BYTES cap this still bounds blocks to 4 MiB x2
+    operands x2 double-buffering = 16 MiB)."""
     if requested is None:
-        requested = max(1, (2 << 20) // (4 * k * n))
+        requested = max(1, (4 << 20) // (4 * k * n))
     b = min(requested, batch)
     while batch % b:
         b -= 1
