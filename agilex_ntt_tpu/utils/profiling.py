@@ -27,12 +27,22 @@ import jax.numpy as jnp
 def under_trace() -> bool:
     """True when called inside an enclosing jax trace (jit/vmap/grad/...).
 
-    Pure trace-state query — no device computation.  Used to keep device
-    arrays created under a trace out of eager caches (tracer leak) and to
-    give eager-only debug helpers a clear error instead of an opaque
-    TracerConversionError.
+    Pure trace-state query — no device computation on the fast path.  Used
+    to keep device arrays created under a trace out of eager caches (tracer
+    leak) and to give eager-only debug helpers a clear error instead of an
+    opaque TracerConversionError.
+
+    ``jax.core.trace_ctx`` is a private attribute; if a JAX upgrade renames
+    it we fall back to a behavioral probe (does arithmetic on a fresh array
+    yield a Tracer?) rather than silently reporting "not traced"
+    (``tests/test_report.py`` pins both behaviors).
     """
-    return type(jax.core.trace_ctx.trace).__name__ != "EvalTrace"
+    try:
+        return type(jax.core.trace_ctx.trace).__name__ != "EvalTrace"
+    except AttributeError:
+        return isinstance(
+            jnp.zeros((), jnp.uint32) + jnp.uint32(0), jax.core.Tracer
+        )
 
 
 @contextlib.contextmanager
@@ -118,13 +128,26 @@ def device_time_profiled(
             t[1] += 1
     if not totals:
         return None
-    # The dominant event name is fn's executable; smaller names are the
-    # readback reduce/slice launches.  Divide by the CAPTURED event count,
-    # not `iters`: through the tunnel the trailing executions' trace events
-    # can miss the stop_trace flush (observed: 3 of 8 eager pallas calls
-    # captured), which would otherwise understate per-call time ~3x.
-    busy_us, count = max(totals.values(), key=lambda t: t[0])
-    return busy_us * 1e-6 / count
+    # Per-call time for each event name = its total duration / its own
+    # captured count.  Divide by the CAPTURED count, not `iters`: through
+    # the tunnel the trailing executions' trace events can miss the
+    # stop_trace flush (observed: 3 of 8 eager pallas calls captured),
+    # which would otherwise understate per-call time ~3x — and counts can
+    # differ per name, so each is normalized separately.
+    #
+    # A multi-executable computation (e.g. the two-kernel four-step path
+    # with its HBM relayout copies) shows several comparable-size names;
+    # summing only the dominant one would exclude the rest and overstate
+    # throughput.  Sum every name that repeats (count > 1): fn's
+    # executables run once per chained call, while the scalar-readback
+    # reduce/slice launches run once per chain and so are captured at most
+    # once — the count separates them structurally, with no size threshold
+    # that could misclassify small-but-real per-call copies.
+    per_call = {n: t[0] / t[1] for n, t in totals.items() if t[1] > 1}
+    if not per_call:  # nothing repeated (tiny iters / heavy flush loss):
+        busy_us, count = max(totals.values(), key=lambda t: t[0])
+        return busy_us * 1e-6 / count
+    return sum(per_call.values()) * 1e-6
 
 
 def device_time(

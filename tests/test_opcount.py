@@ -78,6 +78,22 @@ def test_under_trace():
     assert not under_trace()
 
 
+def test_under_trace_fallback(monkeypatch):
+    # If a JAX upgrade removes the private trace_ctx attribute, under_trace
+    # must fall back to the behavioral Tracer probe, not crash or silently
+    # report "not traced".
+    monkeypatch.delattr(jax.core, "trace_ctx")
+    assert not under_trace()
+    seen = []
+
+    def f(x):
+        seen.append(under_trace())
+        return x
+
+    jax.jit(f)(jnp.zeros(()))
+    assert seen == [True]
+
+
 def test_device_time_profiled_fallback_or_value():
     params = make_params(256, find_primes(256, 1)[0])
     from agilex_ntt_tpu.ops import xla_ntt
