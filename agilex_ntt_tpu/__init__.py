@@ -17,7 +17,7 @@ if _os.environ.get("NTT_TPU_COMPILE_CACHE"):
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from .api import CyclicRing, Ring, RNSRing
+from .api import CyclicRing, Ring, RNSRing, WideRing
 from .config import NTTConfig, REFERENCE_SIZES
 from .params import NTTParams, find_primes, find_psi, make_params
 
@@ -27,6 +27,7 @@ __all__ = [
     "Ring",
     "RNSRing",
     "CyclicRing",
+    "WideRing",
     "NTTConfig",
     "NTTParams",
     "REFERENCE_SIZES",

@@ -906,3 +906,189 @@ class RNSRing:
         from .utils.crt import crt_compose
 
         return crt_compose(np.asarray(residues), self.qs)
+
+
+class WideRing:
+    """R_q = Z_q[X]/(X^n + 1) at the reference's full u64 word width.
+
+    The reference kernel's word size is u64 — its mulmod synthesizes a
+    64x64->high-64 product from 32x32 partials (``HEXL_FPGA_USE_64BIT_MULT``,
+    ``/root/reference/src/kernel/ntt.cpp:26-37, 346-363``), so it accepts any
+    prime up to the Harvey bound q < 2**62.  ``Ring`` deliberately runs a
+    32-bit word scheme (q < 2**30: the SEAL-Embedded primes the reference
+    actually targets, README.md:13) and covers larger composite moduli via
+    ``RNSRing``; WideRing restores the remaining generality — a SINGLE prime
+    up to 2**62 — as an XLA correctness/compatibility tier built on
+    ``ops/wide.py`` limb-pair arithmetic (uint32 lanes, 16-bit-limb partial
+    products; pure jnp, runs on TPU and CPU alike).
+
+    I/O convention: methods accept and return numpy uint64 arrays (host
+    round-trip, the ergonomic default since JAX x64 is off) OR ``(lo, hi)``
+    uint32 limb-pair tuples (device-resident, jit-composable).  The output
+    kind matches the input kind.
+    """
+
+    def __init__(self, n: int, q: Optional[int] = None, *, psi: Optional[int] = None):
+        from .ops import wide
+
+        if q is None:
+            q = find_primes(n, 1, bits=62)[0]
+        if q >= (1 << 62):
+            raise ValueError(
+                f"q must be < 2**62 (Harvey lazy range 4q < 2**64), got {q}"
+            )
+        self.n = n
+        self.q = q
+        self.params = make_params(n, q, psi)  # u64 tables (roots/precon64)
+        self.n_inv = self.params.n_inv
+        self.qinv_neg = wide.mont_qinv_neg64(q)
+        self.r_mod_q = (1 << 64) % q
+        self.polymul_scale = self.n_inv * self.r_mod_q % q
+        # stage tables as numpy uint32 limb pairs (numpy, not device arrays:
+        # builders may run under an enclosing trace — see CLAUDE.md)
+        self._fwd_tabs = wide.split_u64_np(self.params.roots) + wide.split_u64_np(
+            self.params.precon64
+        )
+        self._inv_tabs = wide.split_u64_np(self.params.inv_roots) + wide.split_u64_np(
+            self.params.inv_precon64
+        )
+        self._jit_cache = {}
+
+    def _jitted(self, name, builder):
+        fn = self._jit_cache.get(name)
+        if fn is None:
+            fn = jax.jit(builder())
+            self._jit_cache[name] = fn
+        return fn
+
+    # -- I/O plumbing ---------------------------------------------------------
+
+    def _ingest(self, x):
+        """-> ((lo, hi), was_numpy).  Accepts numpy uint64 / ints or a
+        (lo, hi) uint32 pair."""
+        from .ops import wide
+
+        if isinstance(x, tuple):
+            lo, hi = x
+            return (jnp.asarray(lo, jnp.uint32), jnp.asarray(hi, jnp.uint32)), False
+        arr = np.asarray(x, dtype=np.uint64)
+        if arr.shape[-1] != self.n:
+            raise ValueError(f"last dim must be n={self.n}, got {arr.shape}")
+        lo, hi = wide.split_u64_np(arr)
+        return (jnp.asarray(lo), jnp.asarray(hi)), True
+
+    def _egest(self, pair, was_numpy: bool):
+        from .ops import wide
+
+        if was_numpy:
+            return wide.join_u64_np(np.asarray(pair[0]), np.asarray(pair[1]))
+        return pair
+
+    # -- transforms -----------------------------------------------------------
+
+    def ntt(self, x):
+        """Forward negacyclic NTT, output in [0, q) (full u64 word width)."""
+        from .ops import wide
+
+        pair, host = self._ingest(x)
+        tabs, n, q = self._fwd_tabs, self.n, self.q
+        fn = self._jitted(
+            "ntt", lambda: lambda lo, hi: wide.fwd_stages64((lo, hi), tabs, n, q)
+        )
+        return self._egest(fn(*pair), host)
+
+    def intt(self, x, *, scale: Optional[int] = None):
+        """Inverse negacyclic NTT (accepts lazy [0, 2q) input), output [0, q)."""
+        from .ops import wide
+
+        pair, host = self._ingest(x)
+        sc = self.n_inv if scale is None else scale
+        tabs, n, q = self._inv_tabs, self.n, self.q
+        fn = self._jitted(
+            ("intt", sc),
+            lambda: lambda lo, hi: wide.inv_stages64((lo, hi), tabs, n, q, sc),
+        )
+        return self._egest(fn(*pair), host)
+
+    # -- ring arithmetic --------------------------------------------------------
+
+    def polymul(self, a, b):
+        """Negacyclic a*b mod (X^n + 1, q): NTT x2, Montgomery pointwise
+        (R = 2**64), inverse with R^-1 folded into the n^-1 scale."""
+        from .ops import wide
+
+        pa, host = self._ingest(a)
+        pb, _ = self._ingest(b)
+        tabs_f, tabs_i = self._fwd_tabs, self._inv_tabs
+        n, q, sc = self.n, self.q, self.polymul_scale
+        qinv = self.qinv_neg
+
+        def build():
+            def f(alo, ahi, blo, bhi):
+                fa = wide.fwd_stages64((alo, ahi), tabs_f, n, q)
+                fb = wide.fwd_stages64((blo, bhi), tabs_f, n, q)
+                prod = wide.mont_mul_lazy64(
+                    fa, fb, wide.u64c(q), wide.u64c(qinv)
+                )
+                return wide.inv_stages64(prod, tabs_i, n, q, sc)
+
+            return f
+
+        fn = self._jitted("polymul", build)
+        return self._egest(fn(*pa, *pb), host)
+
+    def pointwise_mul(self, a, b):
+        """Exact elementwise a*b mod q in [0, q) for NTT-domain operands."""
+        from .ops import wide
+
+        pa, host = self._ingest(a)
+        pb, _ = self._ingest(b)
+        q, qinv = self.q, self.qinv_neg
+        r2 = pow(1 << 64, 2, q)
+
+        def build():
+            def f(alo, ahi, blo, bhi):
+                t = wide.mont_mul_lazy64(
+                    (alo, ahi), (blo, bhi), wide.u64c(q), wide.u64c(qinv)
+                )
+                t = wide.mont_mul_lazy64(
+                    t, wide.u64c(r2), wide.u64c(q), wide.u64c(qinv)
+                )
+                return wide.cond_sub64(t, wide.u64c(q))
+
+            return f
+
+        fn = self._jitted("pw_exact", build)
+        return self._egest(fn(*pa, *pb), host)
+
+    def add(self, a, b):
+        from .ops import wide
+
+        pa, host = self._ingest(a)
+        pb, _ = self._ingest(b)
+        q = self.q
+        fn = self._jitted(
+            "add",
+            lambda: lambda alo, ahi, blo, bhi: wide.cond_sub64(
+                wide.add64((alo, ahi), (blo, bhi)), wide.u64c(q)
+            ),
+        )
+        return self._egest(fn(*pa, *pb), host)
+
+    def sub(self, a, b):
+        from .ops import wide
+
+        pa, host = self._ingest(a)
+        pb, _ = self._ingest(b)
+        q = self.q
+        fn = self._jitted(
+            "sub",
+            lambda: lambda alo, ahi, blo, bhi: wide.cond_sub64(
+                wide.add64(wide.sub64((alo, ahi), (blo, bhi)), wide.u64c(q)),
+                wide.u64c(q),
+            ),
+        )
+        return self._egest(fn(*pa, *pb), host)
+
+    def __repr__(self):
+        return f"WideRing(n={self.n}, q={self.q})"

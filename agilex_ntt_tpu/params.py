@@ -68,9 +68,14 @@ def find_primes(n: int, count: int, bits: int = 30) -> List[int]:
     Searches downward from 2**bits (SEAL-Embedded style prime chains are
     descending).  These are the moduli the reference targets ("SEAL-Embedded
     primes are ≤ 30-bit", README.md:13 + ntt.cpp:346-363 32-bit-limb mulmod).
+
+    bits may go up to 62 — the reference kernel's own Harvey bound at u64
+    word size (4q < 2**64, ntt.cpp:32-37) — but primes above 30 bits are
+    only accepted by the wide tier (WideRing / golden u64 / native core),
+    not by the 32-bit-word Pallas/XLA kernels.
     """
-    if bits > 30:
-        raise ValueError("kernels require q < 2**30 (uint32 lazy range)")
+    if bits > 62:
+        raise ValueError("Harvey lazy range needs 4q < 2**64, i.e. bits <= 62")
     m = 2 * n
     q = ((1 << bits) - 1) // m * m + 1
     out: List[int] = []
@@ -83,18 +88,58 @@ def find_primes(n: int, count: int, bits: int = 30) -> List[int]:
     return out
 
 
+def _pollard_rho(n: int) -> int:
+    """A nontrivial factor of composite odd n (Brent's cycle variant).
+
+    Needed because primitive_root factors q - 1: trial division is fine for
+    30-bit primes (sqrt ~ 2**15) but prohibitive for the wide tier's 62-bit
+    moduli (sqrt ~ 2**31 Python iterations).
+    """
+    import math
+
+    if n % 2 == 0:
+        return 2
+    seed = 1
+    while True:
+        seed += 1
+        x = y = 2
+        c = seed
+        d = 1
+        while d == 1:
+            x = (x * x + c) % n
+            y = (y * y + c) % n
+            y = (y * y + c) % n
+            d = math.gcd(abs(x - y), n)
+        if d != n:
+            return d
+
+
 def _factorize(n: int) -> List[int]:
+    """Distinct prime factors.  Small factors by trial division; anything
+    left above the trial bound splits recursively via Pollard rho."""
     fs = []
     d = 2
-    while d * d <= n:
+    while d * d <= n and d < 100_000:
         if n % d == 0:
             fs.append(d)
             while n % d == 0:
                 n //= d
         d += 1
-    if n > 1:
-        fs.append(n)
-    return fs
+    if n == 1:
+        return fs
+    stack = [n]
+    found = set()
+    while stack:
+        m = stack.pop()
+        if m == 1:
+            continue
+        if is_prime(m):
+            found.add(m)
+            continue
+        f = _pollard_rho(m)
+        stack.append(f)
+        stack.append(m // f)
+    return fs + sorted(found)
 
 
 def primitive_root(q: int) -> int:
@@ -195,6 +240,17 @@ def _make_params_cached(n: int, q: int, psi: int) -> NTTParams:
     ipre64 = [(w << 64) // q for w in inv_roots_py]
     pre32 = [(w << 32) // q for w in roots_py]
     ipre32 = [(w << 32) // q for w in inv_roots_py]
+    if q >> 30:
+        # wide-tier modulus: the 32-bit-word tables are meaningless (and
+        # numpy rejects the >2**32 values outright) — the wide tier consumes
+        # the u64 tables; mask so the dataclass shape stays uniform
+        mask32 = (1 << 32) - 1
+        roots32_py = [w & mask32 for w in roots_py]
+        iroots32_py = [w & mask32 for w in inv_roots_py]
+        pre32 = [p & mask32 for p in pre32]
+        ipre32 = [p & mask32 for p in ipre32]
+    else:
+        roots32_py, iroots32_py = roots_py, inv_roots_py
 
     return NTTParams(
         n=n,
@@ -205,9 +261,9 @@ def _make_params_cached(n: int, q: int, psi: int) -> NTTParams:
         inv_roots=np.array(inv_roots_py, dtype=np.uint64),
         inv_precon64=np.array(ipre64, dtype=np.uint64),
         n_inv=pow(n, q - 2, q),
-        roots32=np.array(roots_py, dtype=np.uint32),
+        roots32=np.array(roots32_py, dtype=np.uint32),
         precon32=np.array(pre32, dtype=np.uint32),
-        inv_roots32=np.array(inv_roots_py, dtype=np.uint32),
+        inv_roots32=np.array(iroots32_py, dtype=np.uint32),
         inv_precon32=np.array(ipre32, dtype=np.uint32),
     )
 
