@@ -94,6 +94,10 @@ def main():
     gen_automorphism(rng, blobs)
     gen_polydot(rng, blobs)
 
+    # -- round-3 extensions (VERDICT round-2 items 5 and 7) ------------------
+    gen_large_fourstep(rng, blobs)
+    gen_wide(rng, blobs)
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **blobs)
     print("wrote", OUT)
@@ -137,6 +141,67 @@ def gen_fourstep_size(rng, blobs, n=65536):
     blobs[f"n{n}_pm_b"] = b
     blobs[f"n{n}_pm_c"] = c
     print(f"n={n} (four-step range): q={q} certified")
+
+
+def gen_large_fourstep(rng, blobs, sizes=((1 << 18, 32), (1 << 20, 16))):
+    """Forward vectors for the remaining four-step sizes (2^18, 2^20).
+
+    Same pipeline as gen_fourstep_size but forward-only and stored uint32
+    (q < 2^30, so the values fit exactly) — the polymul triple would triple
+    the committed bytes while the Ring polymul path at these sizes is the
+    same fused kernel already KAT-pinned at 65536.  Spot counts shrink with
+    size because each big-int spot evaluation is O(n) Python bignum work.
+    """
+    for n, spots in sizes:
+        q = find_primes(n, 1)[0]
+        pp = make_params(n, q)
+        x = rng.integers(0, q, size=n, dtype=np.uint64)
+        y = native.fwd_ntt(x[None, :], q, pp.roots, pp.precon64)[0]
+        _spot_oracle_negacyclic(x, y, pp, rng, spots=spots)
+        back = native.inv_ntt(y[None, :], q, pp.inv_roots, pp.inv_precon64)[0]
+        assert (back == x).all(), f"roundtrip failed at n={n}"
+        blobs[f"n{n}_q"] = np.uint64(q)
+        blobs[f"n{n}_psi"] = np.uint64(pp.psi)
+        blobs[f"n{n}_input"] = x.astype(np.uint32)
+        blobs[f"n{n}_ntt"] = y.astype(np.uint32)
+        print(f"n={n} (four-step range): q={q} certified ({spots} spots)")
+
+
+def gen_wide(rng, blobs, n=1024, bits=(45, 62)):
+    """Wide-modulus vectors (q up to the Harvey bound 2**62) — the
+    reference's u64 word path (ntt.cpp:32-37, 346-363), served here by
+    WideRing.  C-core generated, big-int spot-certified, plus a polymul
+    triple certified by the big-int convolution."""
+    for b in bits:
+        q = find_primes(n, 1, bits=b)[0]
+        pp = make_params(n, q)
+        x = rng.integers(0, q, size=n, dtype=np.uint64)
+        y = native.fwd_ntt(x[None, :], q, pp.roots, pp.precon64)[0]
+        _spot_oracle_negacyclic(x, y, pp, rng)
+        back = native.inv_ntt(y[None, :], q, pp.inv_roots, pp.inv_precon64)[0]
+        assert (back == x).all(), f"wide roundtrip failed at q={q}"
+        a = rng.integers(0, q, size=n, dtype=np.uint64)
+        bb = rng.integers(0, q, size=n, dtype=np.uint64)
+        fa = native.fwd_ntt(a[None, :], q, pp.roots, pp.precon64)
+        fb = native.fwd_ntt(bb[None, :], q, pp.roots, pp.precon64)
+        c = native.inv_ntt(native.pointwise(fa, fb, q), q,
+                           pp.inv_roots, pp.inv_precon64)[0]
+        # certify 8 coefficients of the product by direct big-int convolution
+        for k in rng.choice(n, size=8, replace=False):
+            acc = 0
+            for i in range(n):
+                j = (int(k) - i) % n
+                sign = 1 if i + j == int(k) else -1
+                acc = (acc + sign * int(a[i]) * int(bb[j])) % q
+            assert acc == int(c[k]), f"wide polymul oracle mismatch q={q} k={k}"
+        blobs[f"w{b}_q"] = np.uint64(q)
+        blobs[f"w{b}_psi"] = np.uint64(pp.psi)
+        blobs[f"w{b}_input"] = x
+        blobs[f"w{b}_ntt"] = y
+        blobs[f"w{b}_pm_a"] = a
+        blobs[f"w{b}_pm_b"] = bb
+        blobs[f"w{b}_pm_c"] = c
+        print(f"wide n={n}: q={q} ({b}-bit) certified")
 
 
 def _cyclic_tables_u64(n, q, omega):
