@@ -150,10 +150,12 @@ def _pick_block_rows(batch: int, width: int, requested: Optional[int]) -> int:
     b = min(requested, batch)
     while batch % b:
         b -= 1
-    if explicit and b != requested:
-        # silent snapping is fine for the auto-picked default, but a
-        # user-supplied tuning value being quietly replaced hides the
-        # mis-tune (e.g. 48@batch=64 -> 32)
+    if explicit and requested <= batch and b != requested:
+        # silent snapping is fine for the auto-picked default and for the
+        # benign batch < block_rows case (a ring tuned for big batches
+        # called on a small one), but a user-supplied tuning value that
+        # COULD have applied being quietly replaced hides the mis-tune
+        # (e.g. 48@batch=64 -> 32)
         warnings.warn(
             f"block_rows={requested} does not divide batch={batch}; "
             f"using {b}",
@@ -617,11 +619,19 @@ def _pick_polydot_rows(batch: int, k: int, n: int,
     at the largest fuse-eligible k*n widths would blow past VMEM — at the
     POLYDOT_FUSE_WIDTH_BYTES cap this still bounds blocks to 4 MiB x2
     operands x2 double-buffering = 16 MiB)."""
-    if requested is None:
+    explicit = requested is not None
+    if not explicit:
         requested = max(1, (4 << 20) // (4 * k * n))
     b = min(requested, batch)
     while batch % b:
         b -= 1
+    if explicit and requested <= batch and b != requested:
+        # same warn-on-explicit-snap contract as _pick_block_rows
+        warnings.warn(
+            f"block_rows={requested} does not divide batch={batch}; "
+            f"using {b}",
+            stacklevel=3,
+        )
     return b
 
 
@@ -652,43 +662,29 @@ def _polydot_rns_kernel(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("params_tuple", "scales", "qinv_negs", "block_rows",
-                     "interpret"),
-)
-def polydot_rns_fused(
+def polydot_rns_tables(
     a: jnp.ndarray,
     b: jnp.ndarray,
-    params_tuple,
+    qs: jnp.ndarray,
+    qinvs: jnp.ndarray,
+    fw: jnp.ndarray,
+    fp0: jnp.ndarray,
+    fp1: jnp.ndarray,
+    iw: jnp.ndarray,
+    ip0: jnp.ndarray,
+    ip1: jnp.ndarray,
     *,
-    scales,
-    qinv_negs,
+    fwd_ts,
+    inv_ts,
     block_rows: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Inner product sum_i a_i * b_i over L prime channels as ONE kernel.
-
-    a, b: (L, batch, k, n).  The channel rides the grid like the other RNS
-    kernels; within a grid step the k-term accumulation happens on the
-    resident tile (see polydot_fused).
-    """
+    """Table-operand core of polydot_rns_fused: a, b (L, batch, k, n) with
+    (L, 1) moduli and (L, log n, n) stage tables as ARRAYS, so the
+    channel-parallel shard_map can shard them over a mesh axis alongside
+    the data (see fwd_ntt_rns_tables / parallel/mesh.ShardedRNSRing)."""
     L, batch, k, n = a.shape
-    logn = params_tuple[0].log_n
-    fwd_ts = tuple(n >> (s + 1) for s in range(logn))
-    inv_ts = tuple(1 << s for s in range(logn))
-    fw = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).w)
-    fp0 = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p0)
-    fp1 = _rns_stack(params_tuple, lambda p: st.fwd_stage_tables(p).p1)
-    itabs = [
-        st.inv_stage_tables_scaled(p, s)
-        for p, s in zip(params_tuple, scales)
-    ]
-    iw = np.stack([np.asarray(t.w) for t in itabs])
-    ip0 = np.stack([np.asarray(t.p0) for t in itabs])
-    ip1 = np.stack([np.asarray(t.p1) for t in itabs])
-    qs = np.array([[p.q] for p in params_tuple], dtype=np.uint32)
-    qinvs = np.array([[v] for v in qinv_negs], dtype=np.uint32)
+    logn = len(fwd_ts)
     br = _pick_polydot_rows(batch, k, n, block_rows)
     grid = (L, batch // br)
     q_spec = pl.BlockSpec(
@@ -712,10 +708,44 @@ def polydot_rns_fused(
         out_shape=jax.ShapeDtypeStruct((L, batch, n), jnp.uint32),
         compiler_params=pltpu.CompilerParams(**_RNS_COMPILER_PARAMS),
         interpret=interpret,
-    )(
-        jnp.asarray(qs), jnp.asarray(qinvs), a, b,
+    )(qs, qinvs, a, b, fw, fp0, fp1, iw, ip0, ip1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params_tuple", "scales", "qinv_negs", "block_rows",
+                     "interpret"),
+)
+def polydot_rns_fused(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    params_tuple,
+    *,
+    scales,
+    qinv_negs,
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inner product sum_i a_i * b_i over L prime channels as ONE kernel.
+
+    a, b: (L, batch, k, n).  The channel rides the grid like the other RNS
+    kernels; within a grid step the k-term accumulation happens on the
+    resident tile (see polydot_fused).
+    """
+    n = a.shape[3]
+    logn = params_tuple[0].log_n
+    fwd_ts = tuple(n >> (s + 1) for s in range(logn))
+    inv_ts = tuple(1 << s for s in range(logn))
+    qs, fw, fp0, fp1 = rns_fwd_tables(params_tuple)
+    _, iw, ip0, ip1 = rns_inv_tables(params_tuple, scales)
+    qinvs = np.array([[v] for v in qinv_negs], dtype=np.uint32)
+    return polydot_rns_tables(
+        a, b,
+        jnp.asarray(qs), jnp.asarray(qinvs),
         jnp.asarray(fw), jnp.asarray(fp0), jnp.asarray(fp1),
         jnp.asarray(iw), jnp.asarray(ip0), jnp.asarray(ip1),
+        fwd_ts=fwd_ts, inv_ts=inv_ts,
+        block_rows=block_rows, interpret=interpret,
     )
 
 

@@ -128,6 +128,57 @@ def test_sharded_cyclic_ring_dp(devices8, rng):
     ).all()
 
 
+def test_sharded_polydot_dp_fused(devices8, rng):
+    """Round 3 (VERDICT round-2 item 4): ShardedRing.polydot under dp runs
+    ONE shard_map over the single-kernel polydot, remainder batch included;
+    bit-exact vs the single-chip op."""
+    import jax.numpy as jnp
+
+    n, k = 256, 3
+    ring_i = Ring(n, backend="pallas", interpret=True)
+    oracle = Ring(n, backend="xla")
+    mesh = make_mesh(dp=8)
+    sr = ShardedRing(ring_i, mesh, dp_axis="dp")
+    a = rng.integers(0, ring_i.q, size=(13, k, n), dtype=np.uint32)
+    b = rng.integers(0, ring_i.q, size=(13, k, n), dtype=np.uint32)
+    got = np.asarray(sr.polydot(jnp.asarray(a), jnp.asarray(b)))
+    want = np.asarray(oracle.polydot(a, b))
+    assert got.shape == (13, n)
+    assert (got == want).all()
+
+
+def test_sharded_polydot_dp_sp_composed(devices8, rng):
+    """polydot with coefficient sharding: composed sharded transforms."""
+    n, k = 512, 2
+    ring = Ring(n, backend="xla")
+    mesh = make_mesh(dp=2, sp=4)
+    sr = ShardedRing(ring, mesh, dp_axis="dp", sp_axis="sp")
+    a = rng.integers(0, ring.q, size=(4, k, n), dtype=np.uint32)
+    b = rng.integers(0, ring.q, size=(4, k, n), dtype=np.uint32)
+    got = np.asarray(sr.polydot(a, b))
+    want = np.asarray(ring.polydot(a, b))
+    assert (got == want).all()
+
+
+def test_sharded_rotate_automorphism(devices8, rng):
+    """Round 3: rotate/automorphism on the mesh (dp x sp), both domains."""
+    n = 256
+    ring = Ring(n, backend="xla")
+    mesh = make_mesh(dp=4, sp=2)
+    sr = ShardedRing(ring, mesh, dp_axis="dp", sp_axis="sp")
+    x = rng.integers(0, ring.q, size=(8, n), dtype=np.uint32)
+    xs = sr.shard(x)
+    for k in (1, 5, 2 * n - 3):
+        assert (
+            np.asarray(sr.rotate(xs, k)) == np.asarray(ring.rotate(x, k))
+        ).all()
+    for k in (3, 5):
+        for domain in ("coeff", "ntt"):
+            got = np.asarray(sr.automorphism(xs, k, domain=domain))
+            want = np.asarray(ring.automorphism(x, k, domain=domain))
+            assert (got == want).all(), (k, domain)
+
+
 @pytest.mark.parametrize("sp_method", ["stage", "fourstep"])
 def test_sharded_cyclic_ring_sp(devices8, rng, sp_method):
     from agilex_ntt_tpu import CyclicRing
