@@ -211,6 +211,126 @@ class Ring:
             y = xla_ntt.inv_ntt_xla(flat, self.params, scale=scale)
         return self._unflatten(y, lead, b)
 
+    # -- tiled-domain API (four-step rings) ----------------------------------
+    #
+    # On TPU the rank-2 (B, n) <-> rank-3 (B, n1, n2) reshape at the flat
+    # API boundary is a physical HBM relayout (the last two dims carry the
+    # (8, 128) tiling): ~0.87 ms per in+out pair at 128 MB, ~20% of the
+    # four-step transform at n=2^16 (BASELINE.md).  Chained FHE pipelines
+    # should convert ONCE at ingress (`to_tiled`), run `ntt_tiled` /
+    # `intt_tiled` / `polymul_tiled` / the elementwise ops (which are
+    # shape-agnostic: pointwise_mul, add, sub, neg all accept (..., n1, n2)
+    # operands unchanged) on the rank-3 form, and convert back at egress —
+    # the exact analog of staying in the NTT domain between multiplies.
+    # Reference analog: frames staying resident in BLOCK_RAM between
+    # pipeline phases (/root/reference/src/kernel/ntt.cpp:90-101).
+
+    @property
+    def tile_shape(self) -> Tuple[int, int]:
+        """(n1, n2) of the four-step decomposition."""
+        self._require_fourstep("tile_shape")
+        return (self.plan.n1, self.plan.n2)
+
+    def _require_fourstep(self, what: str) -> None:
+        if self.method != "fourstep":
+            raise ValueError(
+                f"{what} is only available on four-step rings "
+                f"(method='fourstep'); this ring is method={self.method!r}"
+            )
+
+    def _tiled_batch(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, tuple]:
+        n1, n2 = self.plan.n1, self.plan.n2
+        if x.ndim < 2 or x.shape[-2:] != (n1, n2):
+            raise ValueError(
+                f"tiled operands must end in (n1, n2)=({n1}, {n2}), "
+                f"got {x.shape}"
+            )
+        lead = x.shape[:-2]
+        b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        if b == 0:
+            raise ValueError(f"empty batch: shape {x.shape}")
+        return x.reshape((b, n1, n2)), lead
+
+    def to_tiled(self, x) -> jnp.ndarray:
+        """(..., n) -> (..., n1, n2): the one-time ingress relayout."""
+        self._require_fourstep("to_tiled")
+        x = _as_u32(x)
+        if x.shape[-1] != self.n:
+            raise ValueError(f"last dim must be n={self.n}, got {x.shape}")
+        return x.reshape(x.shape[:-1] + self.tile_shape)
+
+    def from_tiled(self, xt) -> jnp.ndarray:
+        """(..., n1, n2) -> (..., n): the one-time egress relayout."""
+        self._require_fourstep("from_tiled")
+        xt = _as_u32(xt)
+        n1, n2 = self.tile_shape
+        if xt.ndim < 2 or xt.shape[-2:] != (n1, n2):
+            raise ValueError(
+                f"expected trailing (n1, n2)=({n1}, {n2}), got {xt.shape}"
+            )
+        return xt.reshape(xt.shape[:-2] + (self.n,))
+
+    def ntt_tiled(self, xt) -> jnp.ndarray:
+        """Forward NTT on the tiled layout, (..., n1, n2) -> (..., n1, n2).
+
+        Bit-identical to ``from_tiled(...) |> ntt |> to_tiled`` but pays no
+        flat relayout.  Output [0, q)."""
+        self._require_fourstep("ntt_tiled")
+        x3, lead = self._tiled_batch(_as_u32(xt))
+        y = fourstep.fwd_ntt_fourstep_tiled(
+            x3, self.plan, backend=self.backend,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        return y.reshape(lead + self.tile_shape)
+
+    def intt_tiled(self, xt, *, scale: Optional[int] = None) -> jnp.ndarray:
+        """Inverse NTT on the tiled layout (accepts lazy [0, 2q) input)."""
+        self._require_fourstep("intt_tiled")
+        x3, lead = self._tiled_batch(_as_u32(xt))
+        y = fourstep.inv_ntt_fourstep_tiled(
+            x3, self.plan, scale=scale, backend=self.backend,
+            block_rows=self.block_rows, interpret=self.interpret,
+        )
+        return y.reshape(lead + self.tile_shape)
+
+    def polymul_tiled(self, a, b) -> jnp.ndarray:
+        """Negacyclic product on the tiled layout, (..., n1, n2) in/out.
+
+        Same kernel selection as ``polymul`` (single fused kernel when the
+        plan is full-fuse eligible, composed transforms otherwise) minus
+        the flat boundary relayouts."""
+        self._require_fourstep("polymul_tiled")
+        if self.backend == "pallas" and fourstep.use_polymul_fuse(
+            self.plan, self.backend
+        ):
+            def build():
+                def f(x, y):
+                    x, y = jnp.broadcast_arrays(x, y)
+                    x3, lead = self._tiled_batch(x)
+                    y3, _ = self._tiled_batch(y)
+                    out = fourstep.polymul_fourstep_fused_tiled(
+                        x3, y3, self.plan,
+                        scale=self.polymul_scale, qinv_neg=self.qinv_neg,
+                        interpret=self.interpret,
+                    )
+                    return out.reshape(lead + self.tile_shape)
+
+                return f
+
+            return self._jitted("polymul_fused4t", build)(
+                _as_u32(a), _as_u32(b)
+            )
+        fn = self._jitted(
+            "polymul_tiled",
+            lambda: lambda x, y: self.intt_tiled(
+                self._pointwise_lazy_expr(
+                    self.ntt_tiled(x), self.ntt_tiled(y)
+                ),
+                scale=self.polymul_scale,
+            ),
+        )
+        return fn(_as_u32(a), _as_u32(b))
+
     # -- ring arithmetic -----------------------------------------------------
 
     def polymul(self, a, b) -> jnp.ndarray:

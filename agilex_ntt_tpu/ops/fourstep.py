@@ -488,22 +488,19 @@ def _full_polymul_kernel(
 @functools.partial(
     jax.jit, static_argnames=("plan", "scale", "qinv_neg", "interpret")
 )
-def polymul_fourstep_fused(
-    a: jnp.ndarray,
-    b: jnp.ndarray,
+def polymul_fourstep_fused_tiled(
+    a3: jnp.ndarray,
+    b3: jnp.ndarray,
     plan: FourStepPlan,
     *,
     scale: int,
     qinv_neg: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Negacyclic a*b mod (X^n + 1, q) as ONE kernel on four-step rings.
-
-    `scale` must fold n^-1 and the Montgomery R (api.Ring.polymul_scale).
-    Requires a full-fuse-eligible plan (matrix <= _FULL_FUSE_BYTES); callers
-    fall back to the composed transform chain beyond that.
-    """
-    b_sz, n1, n2 = a.shape[0], plan.n1, plan.n2
+    """Fused four-step polymul on the resident tiled layout ((B, n1, n2) in
+    and out — see ``fwd_ntt_fourstep_tiled``); the single-kernel core of
+    ``polymul_fourstep_fused``."""
+    b_sz, n1, n2 = a3.shape[0], plan.n1, plan.n2
     q = plan.q
     fc = _col_tabs_T(st.fwd_stage_tables(plan.col))
     fr = st.fwd_stage_tables(plan.row)
@@ -523,8 +520,6 @@ def polymul_fourstep_fused(
         row_scale=row_scale, row_precon=(row_scale << 32) // q,
         col_scale=col_scale, col_precon=(col_scale << 32) // q,
     )
-    a3 = a.reshape(b_sz, n1, n2)
-    b3 = b.reshape(b_sz, n1, n2)
     out = pl.pallas_call(
         kern,
         grid=(b_sz,),
@@ -545,6 +540,32 @@ def polymul_fourstep_fused(
         jnp.asarray(ic[0]), jnp.asarray(ic[1]), jnp.asarray(ic[2]),
         jnp.asarray(ir.w), jnp.asarray(ir.p0), jnp.asarray(ir.p1),
         jnp.asarray(plan.itw), jnp.asarray(plan.itp0), jnp.asarray(plan.itp1),
+    )
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "scale", "qinv_neg", "interpret")
+)
+def polymul_fourstep_fused(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    plan: FourStepPlan,
+    *,
+    scale: int,
+    qinv_neg: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Negacyclic a*b mod (X^n + 1, q) as ONE kernel on four-step rings.
+
+    `scale` must fold n^-1 and the Montgomery R (api.Ring.polymul_scale).
+    Requires a full-fuse-eligible plan (matrix <= _FULL_FUSE_BYTES); callers
+    fall back to the composed transform chain beyond that.
+    """
+    b_sz, n1, n2 = a.shape[0], plan.n1, plan.n2
+    out = polymul_fourstep_fused_tiled(
+        a.reshape(b_sz, n1, n2), b.reshape(b_sz, n1, n2), plan,
+        scale=scale, qinv_neg=qinv_neg, interpret=interpret,
     )
     return out.reshape(b_sz, plan.n)
 
@@ -611,6 +632,61 @@ def _inv_small(x, params, *, scale, backend, block_rows, interpret):
 @functools.partial(
     jax.jit, static_argnames=("plan", "backend", "block_rows", "interpret")
 )
+def fwd_ntt_fourstep_tiled(
+    x3: jnp.ndarray,
+    plan: FourStepPlan,
+    *,
+    backend: str = "pallas",
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Forward four-step NTT on the resident tiled layout: (B, n1, n2) in
+    and out, NO flat boundary reshapes.
+
+    On TPU a rank-2 (B, n) <-> rank-3 (B, n1, n2) reshape is a physical HBM
+    relayout (the last two dims carry the (8, 128) tiling) costing ~0.87 ms
+    per in+out pair at 128 MB — the four-step API-boundary tax measured in
+    BASELINE.md.  Chained pipelines should ingress once via ``Ring.to_tiled``
+    and stay rank-3 (the exact analog of staying in the NTT domain between
+    multiplies).  Bit-identical to ``fwd_ntt_fourstep`` on the flattened
+    input.
+    """
+    b = x3.shape[0]
+    n1, n2 = plan.n1, plan.n2
+    if _use_full_fuse(plan, backend):
+        return _full_pass_fwd(x3, plan, interpret=interpret)
+    if _use_fused_col(plan, backend):
+        # fused column pass: on-chip tile transposes + fused twiddle scale
+        # (no HBM-roundtrip XLA transposes, no standalone scale pass)
+        m2 = _col_pass_fwd(x3, plan, interpret=interpret)
+    else:
+        # column pass: size-n1 negacyclic NTT down each of the n2 columns
+        xc = x3.transpose(0, 2, 1).reshape(b * n2, n1)
+        yc = _fwd_small(
+            xc, plan.col, backend=backend, block_rows=block_rows,
+            interpret=interpret,
+        )
+        m1 = yc.reshape(b, n2, n1).transpose(0, 2, 1)  # rows land at br(k1)
+        # inter-pass twiddle scale (positional Shoup mulmod, lazy [0, 2q))
+        m2 = shoup_mulmod_lazy_presplit(
+            m1,
+            jnp.asarray(plan.tw)[None],
+            jnp.asarray(plan.tp0)[None],
+            jnp.asarray(plan.tp1)[None],
+            plan.q,
+        )
+    # row pass: size-n2 cyclic NTT along each row (leading-dim merges only:
+    # layout-preserving, unlike the flat rank-2 boundary)
+    rows = m2.reshape(b * n1, n2)
+    out = _fwd_small(
+        rows, plan.row, backend=backend, block_rows=block_rows, interpret=interpret
+    )
+    return out.reshape(b, n1, n2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("plan", "backend", "block_rows", "interpret")
+)
 def fwd_ntt_fourstep(
     x: jnp.ndarray,
     plan: FourStepPlan,
@@ -625,36 +701,65 @@ def fwd_ntt_fourstep(
     kernel (``ntt_kernel.fwd_ntt``) / the uint64 golden model.
     """
     b = x.shape[0]
-    n1, n2 = plan.n1, plan.n2
-    if _use_full_fuse(plan, backend):
-        out = _full_pass_fwd(x.reshape(b, n1, n2), plan, interpret=interpret)
-        return out.reshape(b, plan.n)
-    if _use_fused_col(plan, backend):
-        # fused column pass: on-chip tile transposes + fused twiddle scale
-        # (no HBM-roundtrip XLA transposes, no standalone scale pass)
-        m2 = _col_pass_fwd(x.reshape(b, n1, n2), plan, interpret=interpret)
-    else:
-        # column pass: size-n1 negacyclic NTT down each of the n2 columns
-        xc = x.reshape(b, n1, n2).transpose(0, 2, 1).reshape(b * n2, n1)
-        yc = _fwd_small(
-            xc, plan.col, backend=backend, block_rows=block_rows,
-            interpret=interpret,
-        )
-        m1 = yc.reshape(b, n2, n1).transpose(0, 2, 1)  # rows land at br(k1)
-        # inter-pass twiddle scale (positional Shoup mulmod, lazy [0, 2q))
-        m2 = shoup_mulmod_lazy_presplit(
-            m1,
-            jnp.asarray(plan.tw)[None],
-            jnp.asarray(plan.tp0)[None],
-            jnp.asarray(plan.tp1)[None],
-            plan.q,
-        )
-    # row pass: size-n2 cyclic NTT along each row
-    rows = m2.reshape(b * n1, n2)
-    out = _fwd_small(
-        rows, plan.row, backend=backend, block_rows=block_rows, interpret=interpret
+    out = fwd_ntt_fourstep_tiled(
+        x.reshape(b, plan.n1, plan.n2), plan, backend=backend,
+        block_rows=block_rows, interpret=interpret,
     )
     return out.reshape(b, plan.n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "scale", "backend", "block_rows", "interpret"),
+)
+def inv_ntt_fourstep_tiled(
+    x3: jnp.ndarray,
+    plan: FourStepPlan,
+    *,
+    scale: Optional[int] = None,
+    backend: str = "pallas",
+    block_rows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Inverse four-step NTT on the resident tiled layout ((B, n1, n2) in
+    and out — see ``fwd_ntt_fourstep_tiled`` for why rank-3 callers skip
+    the HBM relayout tax).  Bit-identical to ``inv_ntt_fourstep``."""
+    if scale is None:
+        scale = plan.n_inv
+    col_scale = scale * plan.n2 % plan.q
+    b = x3.shape[0]
+    n1, n2 = plan.n1, plan.n2
+    if _use_full_fuse(plan, backend):
+        return _full_pass_inv(x3, plan, col_scale=col_scale,
+                              interpret=interpret)
+    # row pass: inverse cyclic size-n2 (undoes the forward's last pass)
+    rows = x3.reshape(b * n1, n2)
+    r = _inv_small(
+        rows, plan.row, scale=plan.row.n_inv,
+        backend=backend, block_rows=block_rows, interpret=interpret,
+    )
+    if _use_fused_col(plan, backend):
+        # fused: unscale + on-chip transposes + inverse column transform
+        return _col_pass_inv(
+            r.reshape(b, n1, n2), plan, col_scale=col_scale,
+            interpret=interpret,
+        )
+    # unscale (inverse inter-pass twiddles)
+    m = r.reshape(b, n1, n2)
+    m = shoup_mulmod_lazy_presplit(
+        m,
+        jnp.asarray(plan.itw)[None],
+        jnp.asarray(plan.itp0)[None],
+        jnp.asarray(plan.itp1)[None],
+        plan.q,
+    )
+    # column pass: inverse negacyclic size-n1 with the residual scale folded
+    xc = m.transpose(0, 2, 1).reshape(b * n2, n1)
+    c = _inv_small(
+        xc, plan.col, scale=col_scale,
+        backend=backend, block_rows=block_rows, interpret=interpret,
+    )
+    return c.reshape(b, n2, n1).transpose(0, 2, 1)
 
 
 @functools.partial(
@@ -676,44 +781,9 @@ def inv_ntt_fourstep(
     R factor, see api.polymul); it is split as row-pass n2^-1 then column-pass
     scale * n2.  Input may be lazy in [0, 2q); output in [0, q).
     """
-    if scale is None:
-        scale = plan.n_inv
-    col_scale = scale * plan.n2 % plan.q
     b = x.shape[0]
-    n1, n2 = plan.n1, plan.n2
-    if _use_full_fuse(plan, backend):
-        out = _full_pass_inv(
-            x.reshape(b, n1, n2), plan, col_scale=col_scale,
-            interpret=interpret,
-        )
-        return out.reshape(b, plan.n)
-    # row pass: inverse cyclic size-n2 (undoes the forward's last pass)
-    rows = x.reshape(b * n1, n2)
-    r = _inv_small(
-        rows, plan.row, scale=plan.row.n_inv,
-        backend=backend, block_rows=block_rows, interpret=interpret,
+    out = inv_ntt_fourstep_tiled(
+        x.reshape(b, plan.n1, plan.n2), plan, scale=scale, backend=backend,
+        block_rows=block_rows, interpret=interpret,
     )
-    if _use_fused_col(plan, backend):
-        # fused: unscale + on-chip transposes + inverse column transform
-        out = _col_pass_inv(
-            r.reshape(b, n1, n2), plan, col_scale=col_scale,
-            interpret=interpret,
-        )
-        return out.reshape(b, plan.n)
-    # unscale (inverse inter-pass twiddles)
-    m = r.reshape(b, n1, n2)
-    m = shoup_mulmod_lazy_presplit(
-        m,
-        jnp.asarray(plan.itw)[None],
-        jnp.asarray(plan.itp0)[None],
-        jnp.asarray(plan.itp1)[None],
-        plan.q,
-    )
-    # column pass: inverse negacyclic size-n1 with the residual scale folded
-    xc = m.transpose(0, 2, 1).reshape(b * n2, n1)
-    c = _inv_small(
-        xc, plan.col, scale=col_scale,
-        backend=backend, block_rows=block_rows, interpret=interpret,
-    )
-    out = c.reshape(b, n2, n1).transpose(0, 2, 1).reshape(b, plan.n)
-    return out
+    return out.reshape(b, plan.n)
