@@ -171,6 +171,8 @@ def ntt_alu_ops(params, batch: int, direction: str = "fwd") -> Dict[str, Any]:
 
     x = jax.ShapeDtypeStruct((batch, n), jnp.uint32)
     census = op_census(f, x)
+    census["alu_denom"] = batch * n * logn  # element-stages per call
+    census["ts"] = ts
     census["per_elem_stage"] = {
         k: census[k] / (batch * n * logn)
         for k in ("alu", "layout", "free", "other")

@@ -63,7 +63,8 @@ def main():
     t = best(lambda v: r.polymul(v, v), x, max(4, iters // 2))
     line(f"polymul/s (n={n}, batch={B})", round(B / t, 1), "polymul/s", None)
 
-    # large-N four-step (beyond the reference's 32768 ceiling)
+    # large-N four-step (beyond the reference's 32768 ceiling), flat and
+    # tiled-domain (the chained-pipeline rate: no per-op rank-2<->3 relayout)
     for ln, lb in ((16, 512), (20, 32)):
         if not on_tpu and ln > 16:
             continue
@@ -72,6 +73,10 @@ def main():
         xx = jax.random.randint(key, (bb, nn), 0, rr.q, dtype=jnp.uint32)
         t = best(lambda v: rr.ntt(v), xx, 10 if on_tpu else 1)
         line(f"fwd NTT/s (n=2^{ln}, batch={bb}, four-step)",
+             round(bb / t, 1), "NTT/s", None)
+        xt = rr.to_tiled(xx)
+        t = best(lambda v: rr.ntt_tiled(v), xt, 10 if on_tpu else 1)
+        line(f"fwd NTT/s (n=2^{ln}, batch={bb}, tiled-domain)",
              round(bb / t, 1), "NTT/s", None)
 
     # key-switch-style fused inner product
