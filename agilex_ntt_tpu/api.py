@@ -1013,6 +1013,59 @@ class RNSRing:
         )
         return fn(x)
 
+    def base_convert(
+        self, x, dst, *, correction: str = "none"
+    ) -> jnp.ndarray:
+        """Fast base conversion: residues (L, ..., n) -> dst basis (K, ..., n).
+
+        `dst` is an RNSRing (same n) or a sequence of primes.  The
+        key-switching / modulus-raising primitive: correction="none" is the
+        classical BEHZ approximate conversion (result = x + e*Q mod p_j,
+        0 <= e < L, absorbed downstream); correction="float" subtracts the
+        HPS float32-estimated e*Q (see ops/basechange.py for the precision
+        band).  Coefficient domain; inputs must be in [0, q_l).
+        """
+        from .ops import basechange
+
+        x = _as_u32(x)
+        self._check(x)
+        qs_dst = tuple(dst.qs) if isinstance(dst, RNSRing) else tuple(
+            int(q) for q in dst
+        )
+        key = ("base_convert", qs_dst, correction)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            qs_src = tuple(self.qs)
+            fn = jax.jit(
+                lambda v: basechange.base_convert(
+                    v, qs_src, qs_dst, correction=correction
+                )
+            )
+            self._jit_cache[key] = fn
+        return fn(x)
+
+    def rescale(self, x) -> jnp.ndarray:
+        """Divide-and-round by the last prime (CKKS rescale / BGV modulus
+        switch): (L, ..., n) residues of x -> (L-1, ..., n) residues of
+        round(x / q_{L-1}) in the basis ``self.qs[:-1]`` (pair with
+        ``drop_prime()``).  Coefficient domain; inputs in [0, q_l)."""
+        from .ops import basechange
+
+        x = _as_u32(x)
+        self._check(x)
+        fn = self._jit_cache.get("rescale")
+        if fn is None:
+            qs = tuple(self.qs)
+            fn = jax.jit(lambda v: basechange.rescale(v, qs))
+            self._jit_cache["rescale"] = fn
+        return fn(x)
+
+    def drop_prime(self) -> "RNSRing":
+        """The ring over ``qs[:-1]`` — the post-rescale home basis."""
+        if self.L < 2:
+            raise ValueError("cannot drop the only prime")
+        return RNSRing(self.n, qs=self.qs[:-1])
+
     def to_rns(self, coeffs) -> np.ndarray:
         """Host-side: big-int coefficients (..., n) -> residues (L, ..., n)."""
         arr = np.asarray(coeffs, dtype=object)

@@ -1,0 +1,166 @@
+"""RNS base conversion and rescaling — the between-NTT production primitives.
+
+An RNS FHE pipeline is not just transforms: between polymuls it must move
+residues across prime bases (key-switching / modulus-raising) and divide by
+a prime (CKKS rescaling / BGV modulus switching).  The reference framework
+stops at the single-modulus transform (one q through modulusPipe,
+``/root/reference/src/kernel/ntt.cpp:64, 143-144``); this module supplies
+the standard RNS tooling on top of the multi-channel rings, all as
+TPU-friendly elementwise/channel-mixing vector ops (no big-int anywhere on
+device).
+
+Fast base conversion (HPS/BEHZ): for x given by residues x_l mod q_l,
+
+    y_l   = [x_l * (Q/q_l)^-1]_{q_l}                (one Shoup mulmod)
+    S     = sum_l y_l * (Q/q_l)  =  x + e*Q,  e = floor(sum_l y_l / q_l) < L
+    out_j = [S]_{p_j} = sum_l y_l * [(Q/q_l)]_{p_j}  - e * [Q]_{p_j}
+
+``correction="float"`` (HPS) estimates e with a float32 sum of y_l / q_l —
+exact unless the fractional part lands within ~L * 2^-23 of an integer
+(SEAL uses float64 here; JAX x64 is off, so the boundary band is wider —
+documented, and the approximate variant is the default for pipelines that
+absorb e*Q downstream).  ``correction="none"`` (BEHZ) returns x + e*Q
+mod p_j, the classical approximate conversion.
+
+Rescaling (drop the last prime, divide-and-round):
+
+    t_l   = centered [x_L]_{q_L} reduced mod q_l
+    out_l = [(x_l - t_l) * q_L^-1]_{q_l}            l < L-1
+
+which equals round(x / q_L) mapped into the smaller basis (centering the
+subtracted residue gives round-to-nearest instead of floor).
+
+All tables are built host-side in numpy and cached by prime tuples; device
+code is pure uint32 lane arithmetic (Shoup lazy mulmods + Barrett
+reductions), jit-safe (tables convert to jnp inside the traced call).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .modmul import U32, cond_sub, mulhi_u32, shoup_mulmod_lazy, sub_mod
+
+
+def _shoup_pair(w: int, q: int) -> Tuple[np.uint32, np.uint32]:
+    return np.uint32(w), np.uint32((w << 32) // q)
+
+
+@functools.lru_cache(maxsize=64)
+def _convert_tables(qs_src: tuple, qs_dst: tuple):
+    """Host tables for qs_src -> qs_dst conversion (all numpy scalars)."""
+    L, K = len(qs_src), len(qs_dst)
+    Q = 1
+    for q in qs_src:
+        Q *= q
+    qtilde = np.zeros((L, 2), dtype=np.uint32)   # (Q/q_l)^-1 mod q_l + precon
+    for l, q in enumerate(qs_src):
+        qhat = Q // q
+        qtilde[l] = _shoup_pair(pow(qhat % q, q - 2, q), q)
+    mat = np.zeros((K, L, 2), dtype=np.uint32)   # [Q/q_l]_{p_j} + precon
+    qmodp = np.zeros((K, 2), dtype=np.uint32)    # [Q]_{p_j} + precon
+    for j, p in enumerate(qs_dst):
+        for l, q in enumerate(qs_src):
+            mat[j, l] = _shoup_pair((Q // q) % p, p)
+        qmodp[j] = _shoup_pair(Q % p, p)
+    inv_q_f32 = np.array([1.0 / q for q in qs_src], dtype=np.float32)
+    return qtilde, mat, qmodp, inv_q_f32
+
+
+def base_convert(
+    x: jnp.ndarray,
+    qs_src: Sequence[int],
+    qs_dst: Sequence[int],
+    *,
+    correction: str = "none",
+) -> jnp.ndarray:
+    """Residues (L, ..., n) mod qs_src -> (K, ..., n) mod qs_dst.
+
+    correction="none": classical BEHZ approximate conversion, returns
+    x + e*Q mod p_j with 0 <= e < L.  correction="float": HPS float32
+    estimate of e is subtracted (see module docstring for the precision
+    band).  Inputs in [0, q_l); outputs in [0, p_j).
+    """
+    if correction not in ("none", "float"):
+        raise ValueError(f"correction must be none|float, got {correction!r}")
+    qs_src, qs_dst = tuple(int(q) for q in qs_src), tuple(int(q) for q in qs_dst)
+    qtilde, mat, qmodp, inv_q = _convert_tables(qs_src, qs_dst)
+
+    ys = []
+    for l, q in enumerate(qs_src):
+        y = shoup_mulmod_lazy(
+            x[l], U32(int(qtilde[l, 0])), U32(int(qtilde[l, 1])), q
+        )
+        ys.append(cond_sub(y, q))  # [0, q_l)
+
+    if correction == "float":
+        v = ys[0].astype(jnp.float32) * inv_q[0]
+        for l in range(1, len(qs_src)):
+            v = v + ys[l].astype(jnp.float32) * inv_q[l]
+        # e = floor(S/Q) exactly; float32 summation noise matters only in a
+        # ~L*2^-23-wide band around integer values of v (see module docstring)
+        e = jnp.floor(v).astype(jnp.uint32)
+
+    outs = []
+    for j, p in enumerate(qs_dst):
+        acc = None
+        for l in range(len(qs_src)):
+            t = shoup_mulmod_lazy(
+                ys[l], U32(int(mat[j, l, 0])), U32(int(mat[j, l, 1])), p
+            )  # [0, 2p)
+            acc = t if acc is None else cond_sub(acc + t, 2 * p)
+        acc = cond_sub(cond_sub(acc, 2 * p), p)  # [0, p)
+        if correction == "float":
+            eq = shoup_mulmod_lazy(
+                e, U32(int(qmodp[j, 0])), U32(int(qmodp[j, 1])), p
+            )
+            acc = sub_mod(acc, cond_sub(eq, p), p)
+        outs.append(acc)
+    return jnp.stack(outs, axis=0)
+
+
+@functools.lru_cache(maxsize=64)
+def _rescale_tables(qs: tuple):
+    """Host tables for dropping q_L: per surviving channel l — Barrett mu
+    for reducing values < q_L mod q_l, [q_L]_{q_l}, q_L^-1 mod q_l."""
+    qL = qs[-1]
+    out = []
+    for q in qs[:-1]:
+        mu = (1 << 32) // q
+        out.append((
+            np.uint32(mu),
+            _shoup_pair(qL % q, q),
+            _shoup_pair(pow(qL % q, q - 2, q), q),
+        ))
+    return out, qL
+
+
+def rescale(x: jnp.ndarray, qs: Sequence[int]) -> jnp.ndarray:
+    """Divide-and-round by the last prime: (L, ..., n) -> (L-1, ..., n).
+
+    out_l = [(x_l - centered([x_{L-1}]_{q_L})) * q_L^-1]_{q_l}, i.e. the
+    residues of round(x / q_L) in the basis qs[:-1].  Inputs [0, q_l);
+    outputs [0, q_l).
+    """
+    qs = tuple(int(q) for q in qs)
+    if len(qs) < 2:
+        raise ValueError("rescale needs at least 2 primes")
+    tabs, qL = _rescale_tables(qs)
+    xL = x[-1]
+    big = xL > jnp.uint32(qL // 2)  # centered lift: subtract qL when high
+    outs = []
+    for l, (mu, (rw, rp), (iw, ip)) in enumerate(tabs):
+        q = qs[l]
+        # Barrett: t = xL mod q_l  (xL < qL < 2^30 < 2^32, exact to [0, 2q))
+        m = mulhi_u32(xL, U32(int(mu)))
+        t = cond_sub(cond_sub(xL - m * U32(q), 2 * q), q)
+        # centered: x_L - qL  ==  t - [qL]_{q_l}  (mod q_l)
+        t = jnp.where(big, sub_mod(t, U32(int(rw)), q), t)
+        diff = sub_mod(x[l], t, q)
+        y = shoup_mulmod_lazy(diff, U32(int(iw)), U32(int(ip)), q)
+        outs.append(cond_sub(y, q))
+    return jnp.stack(outs, axis=0)

@@ -880,3 +880,41 @@ class ShardedRNSRing:
             ("automorphism", int(k), domain), x,
             lambda v: self.rns.automorphism(v, k, domain=domain),
         )
+
+    def _mixing_op(self, key, x, call):
+        """Channel-MIXING ops (base_convert / rescale) on the mesh: batch and
+        coefficient axes stay elementwise-sharded (dp/sp, zero collectives —
+        XLA's partitioner keeps them local); the channel axis is where data
+        crosses shards, so the OUTPUT channel axis is replicated (its size
+        differs from L and its basis from this ring's — callers re-place
+        with ``shard`` on the destination ring).  Under ch sharding XLA
+        inserts the cross-channel gathers that the math genuinely needs."""
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            out_shard = NamedSharding(
+                self.mesh, P(None, self.dp_axis, self.sp_axis)
+            )
+
+            def f(v):
+                return jax.lax.with_sharding_constraint(call(v), out_shard)
+
+            fn = jax.jit(f)
+            self._jit_cache[key] = fn
+        return fn(x)
+
+    def base_convert(self, x, dst, *, correction: str = "none") -> jnp.ndarray:
+        """Fast base conversion on the mesh (see RNSRing.base_convert)."""
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        qs_dst = tuple(dst.qs) if hasattr(dst, "qs") else tuple(
+            int(q) for q in dst
+        )
+        return self._mixing_op(
+            ("base_convert", qs_dst, correction), x,
+            lambda v: self.rns.base_convert(v, qs_dst, correction=correction),
+        )
+
+    def rescale(self, x) -> jnp.ndarray:
+        """Divide-and-round by the last prime on the mesh (see
+        RNSRing.rescale); output channel axis replicated over ch."""
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        return self._mixing_op("rescale", x, self.rns.rescale)
