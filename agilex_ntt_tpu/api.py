@@ -623,6 +623,29 @@ class Ring:
             )
         return x
 
+    def digit_decompose(
+        self, x, base_bits: int, *, balanced: bool = False
+    ) -> jnp.ndarray:
+        """Base-2^w gadget split: (..., n) in [0, q) -> (ndig, ..., n).
+
+        The external-product primitive (BFV/TFHE-style key material):
+        sum_j d_j * 2^(w*j) == x exactly; balanced=True centers digits
+        (see ops/gadget.py for ranges and the carry rule).  Elementwise
+        VPU lane math — shifts/masks/adds only.
+        """
+        from .ops import gadget
+
+        x = _as_u32(x)
+        key = ("digit_decompose", int(base_bits), bool(balanced))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            q, w, bal = self.q, int(base_bits), bool(balanced)
+            fn = jax.jit(
+                lambda v: gadget.digit_decompose(v, q, w, balanced=bal)
+            )
+            self._jit_cache[key] = fn
+        return fn(x)
+
     def random_coeffs(self, key, shape=()) -> jnp.ndarray:
         """Uniform random ring elements, shape (..., n)."""
         return jax.random.randint(
@@ -1058,6 +1081,40 @@ class RNSRing:
             qs = tuple(self.qs)
             fn = jax.jit(lambda v: basechange.rescale(v, qs))
             self._jit_cache["rescale"] = fn
+        return fn(x)
+
+    def gadget_decompose(
+        self, x, dst, dnum: int, *, correction: str = "float"
+    ) -> jnp.ndarray:
+        """Hybrid-key-switch gadget split: (L, ..., n) -> (dnum, K, ..., n).
+
+        Digit d = fast base conversion of the d-th contiguous prime-group's
+        residues into ``dst`` (an RNSRing or prime sequence — typically the
+        extended basis Q u P, which may overlap this ring's primes).  With
+        correction="float" each digit is exactly [x]_{Q_d} in dst; the
+        (Q/Q_d)-gadget factors live in the evaluation key, so key-switching
+        is polydot(digits, ksk) per digit summed.  dnum=L is per-prime GHS
+        decomposition; dnum=1 is plain base conversion.  Coefficient
+        domain; inputs in [0, q_l).
+        """
+        from .ops import gadget
+
+        x = _as_u32(x)
+        self._check(x)
+        qs_dst = tuple(dst.qs) if isinstance(dst, RNSRing) else tuple(
+            int(q) for q in dst
+        )
+        key = ("gadget_decompose", qs_dst, int(dnum), correction)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            qs_src, d, corr = tuple(self.qs), int(dnum), correction
+            gadget.gadget_groups(len(qs_src), d)  # validate eagerly
+            fn = jax.jit(
+                lambda v: gadget.gadget_decompose(
+                    v, qs_src, qs_dst, d, correction=corr
+                )
+            )
+            self._jit_cache[key] = fn
         return fn(x)
 
     def drop_prime(self) -> "RNSRing":

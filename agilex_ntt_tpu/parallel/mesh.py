@@ -918,3 +918,30 @@ class ShardedRNSRing:
         RNSRing.rescale); output channel axis replicated over ch."""
         x = jnp.asarray(x, dtype=jnp.uint32)
         return self._mixing_op("rescale", x, self.rns.rescale)
+
+    def gadget_decompose(
+        self, x, dst, dnum: int, *, correction: str = "float"
+    ) -> jnp.ndarray:
+        """Hybrid gadget split on the mesh (see RNSRing.gadget_decompose):
+        (L, B, n) -> (dnum, K, B, n).  Batch/coefficient axes stay
+        dp/sp-sharded; the digit and output-channel axes are replicated
+        (like the other channel-mixing ops, callers re-place per digit)."""
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        qs_dst = tuple(dst.qs) if hasattr(dst, "qs") else tuple(
+            int(q) for q in dst
+        )
+        key = ("gadget_decompose", qs_dst, int(dnum), correction)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            out_shard = NamedSharding(
+                self.mesh, P(None, None, self.dp_axis, self.sp_axis)
+            )
+            d, corr = int(dnum), correction
+
+            def f(v):
+                y = self.rns.gadget_decompose(v, qs_dst, d, correction=corr)
+                return jax.lax.with_sharding_constraint(y, out_shard)
+
+            fn = jax.jit(f)
+            self._jit_cache[key] = fn
+        return fn(x)

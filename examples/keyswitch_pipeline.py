@@ -91,6 +91,24 @@ def main():
         )
         print(f"mesh (dp=4): bit-identical end to end")
 
+    # -- hybrid variant: gadget digits feed polydot as the dot axis ----------
+    # Real hybrid key-switching decomposes ct into dnum digits FIRST (noise
+    # control), raises each digit into Q u P, and dots the digits against
+    # per-digit key columns: digits become polydot's k axis directly.
+    dnum = 3
+    digits = rq.gadget_decompose(
+        ct[:, :, 0, :], rqp, dnum, correction="float"
+    )  # (dnum, L+1, batch, n)
+    dig_k = jnp.transpose(jnp.asarray(digits), (1, 2, 0, 3))  # (L+1,B,dnum,n)
+    ksk = np.stack(
+        [rng.integers(0, q, size=(batch, dnum, n), dtype=np.uint32)
+         for q in rqp.qs], axis=0,
+    )
+    ks_dot = rqp.polydot(dig_k, jnp.asarray(ksk))
+    ks_out = rqp.rescale(ks_dot)
+    print(f"hybrid (dnum={dnum}): digits{np.asarray(digits).shape} "
+          f"-> dot{ks_dot.shape} -> lowered{ks_out.shape}")
+
     # -- big-int oracle for the raise/lower arithmetic -----------------------
     # raise is exact (correction='float'): the special-channel residues must
     # equal the CRT-composed ciphertext mod p

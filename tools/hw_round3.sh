@@ -19,4 +19,5 @@ TMO=1800                 run ab_inv   python tools/ab_inv.py
 TMO=3600                 run suite    python tools/bench_suite.py
 TMO=3600                 run sweep    python tools/sweep.py
 TMO=900                  run bench    python bench.py
+TMO=2400                 run test_hw  make test_hw
 echo "=== all measurement steps done; outputs in report_out/hw_r3/"
