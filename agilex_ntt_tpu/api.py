@@ -21,7 +21,7 @@ Typical use::
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -837,6 +837,8 @@ class RNSRing:
         # loop of per-ring jit calls would pay L separate dispatches (and
         # XLA couldn't overlap the channels' kernels)
         self._jit_cache = {}
+        # extended-basis rings built by keyswitch, keyed by prime tuple
+        self._ext_rings: Dict[tuple, "RNSRing"] = {}
 
     @property
     def L(self) -> int:
@@ -1083,6 +1085,97 @@ class RNSRing:
             self._jit_cache["rescale"] = fn
         return fn(x)
 
+    def mod_down(self, x, count: int = 1) -> jnp.ndarray:
+        """Iterated rescale: drop the last ``count`` primes, i.e. the exact
+        centered round(x / prod(dropped)) residues — the post-key-switch
+        ModDown.  (L, ..., n) -> (L-count, ..., n); pair with
+        ``drop_prime(count)``."""
+        from .ops import basechange
+
+        x = _as_u32(x)
+        self._check(x)
+        key = ("mod_down", int(count))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            qs, c = tuple(self.qs), int(count)
+            if not 1 <= c <= len(qs) - 1:
+                raise ValueError(
+                    f"count must be in [1, {len(qs) - 1}], got {c}"
+                )
+            fn = jax.jit(lambda v: basechange.mod_down(v, qs, c))
+            self._jit_cache[key] = fn
+        return fn(x)
+
+    def keyswitch(
+        self, x, ksk, ext, dnum: int, *, correction: str = "float"
+    ) -> jnp.ndarray:
+        """One-call hybrid key-switch: gadget-decompose ``x`` into ``dnum``
+        digits, raise them into the extended basis ``ext``, dot against the
+        key material, and ModDown back to this basis.
+
+        x: (L, ..., n) residues in this ring's basis.
+        ksk: key material generated in ``ext`` — (dnum, K, n) (shared
+             across the batch, the production shape) or (dnum, K, ..., n)
+             matching x's lead dims.
+        ext: RNSRing or K primes; its first L primes MUST be this ring's
+             (so the ModDown by the K-L special primes lands back here).
+        Returns (L, ..., n) residues of round(sum_d t_d * ksk_d / P).
+        """
+        from .ops import basechange, gadget
+
+        x = _as_u32(x)
+        self._check(x)
+        ksk = _as_u32(ksk)
+        qs_ext = tuple(ext.qs) if isinstance(ext, RNSRing) else tuple(
+            int(q) for q in ext
+        )
+        if qs_ext[: self.L] != tuple(self.qs):
+            raise ValueError(
+                "ext basis must extend this ring's (first L primes equal); "
+                f"got ext={qs_ext[:self.L]}... vs qs={tuple(self.qs)}"
+            )
+        K = len(qs_ext)
+        if K <= self.L:
+            raise ValueError("ext basis must add at least one special prime")
+        ext_ring = self._ext_rings.get(qs_ext)
+        if ext_ring is None:
+            ext_ring = ext if isinstance(ext, RNSRing) else RNSRing(
+                self.n, qs=qs_ext
+            )
+            self._ext_rings[qs_ext] = ext_ring
+        shared = ksk.ndim == 3  # (dnum, K, n) broadcast over the batch
+        if ksk.shape[:2] != (dnum, K) or ksk.shape[-1] != self.n:
+            raise ValueError(
+                f"ksk must be (dnum={dnum}, K={K}, [...,] n={self.n}), "
+                f"got {ksk.shape}"
+            )
+        key = ("keyswitch", qs_ext, int(dnum), correction, shared, x.ndim)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            qs_src, d, corr = tuple(self.qs), int(dnum), correction
+            gadget.gadget_groups(len(qs_src), d)  # validate eagerly
+            spec = K - self.L
+
+            def f(v, kk):
+                dig = gadget.gadget_decompose(
+                    v, qs_src, qs_ext, d, correction=corr
+                )  # (dnum, K, ..., n)
+                dig = jnp.moveaxis(dig, 0, -2)  # (K, ..., dnum, n)
+                kb = jnp.moveaxis(kk, 0, -2)    # (K, [...,] dnum, n)
+                if shared:
+                    kb = jnp.broadcast_to(
+                        kb.reshape(
+                            (K,) + (1,) * (dig.ndim - 3) + kb.shape[-2:]
+                        ),
+                        dig.shape,
+                    )
+                prod = ext_ring.polydot(dig, kb)  # (K, ..., n)
+                return basechange.mod_down(prod, qs_ext, spec)
+
+            fn = jax.jit(f)
+            self._jit_cache[key] = fn
+        return fn(x, ksk)
+
     def gadget_decompose(
         self, x, dst, dnum: int, *, correction: str = "float"
     ) -> jnp.ndarray:
@@ -1117,11 +1210,14 @@ class RNSRing:
             self._jit_cache[key] = fn
         return fn(x)
 
-    def drop_prime(self) -> "RNSRing":
-        """The ring over ``qs[:-1]`` — the post-rescale home basis."""
-        if self.L < 2:
-            raise ValueError("cannot drop the only prime")
-        return RNSRing(self.n, qs=self.qs[:-1])
+    def drop_prime(self, count: int = 1) -> "RNSRing":
+        """The ring over ``qs[:-count]`` — the post-rescale/mod_down home
+        basis."""
+        if not 1 <= count <= self.L - 1:
+            raise ValueError(
+                f"count must be in [1, L-1={self.L - 1}], got {count}"
+            )
+        return RNSRing(self.n, qs=self.qs[:-count])
 
     def to_rns(self, coeffs) -> np.ndarray:
         """Host-side: big-int coefficients (..., n) -> residues (L, ..., n)."""

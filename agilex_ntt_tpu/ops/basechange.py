@@ -139,6 +139,21 @@ def _rescale_tables(qs: tuple):
     return out, qL
 
 
+def mod_down(x: jnp.ndarray, qs: Sequence[int], count: int = 1) -> jnp.ndarray:
+    """Iterated divide-and-round: drop the last ``count`` primes one at a
+    time (the standard ModDown after a key-switch in an extended basis).
+    (L, ..., n) -> (L-count, ..., n); each step is the exact centered
+    rounding of ``rescale``."""
+    qs = tuple(int(q) for q in qs)
+    if not 1 <= count <= len(qs) - 1:
+        raise ValueError(
+            f"count must be in [1, L-1={len(qs) - 1}], got {count}"
+        )
+    for i in range(count):
+        x = rescale(x, qs[: len(qs) - i])
+    return x
+
+
 def rescale(x: jnp.ndarray, qs: Sequence[int]) -> jnp.ndarray:
     """Divide-and-round by the last prime: (L, ..., n) -> (L-1, ..., n).
 

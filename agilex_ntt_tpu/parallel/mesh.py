@@ -418,6 +418,8 @@ class ShardedRNSRing:
         # per-channel tables as shardable array operands) and L % ch == 0.
         self.ch_axis = ch_axis
         self._chsp_plans = None
+        # extended-basis sharded rings built by keyswitch, keyed by primes
+        self._ext_sharded: dict = {}
         if ch_axis is not None:
             for ax in (ch_axis, dp_axis, sp_axis):
                 if ax is not None and ax not in mesh.axis_names:
@@ -918,6 +920,62 @@ class ShardedRNSRing:
         RNSRing.rescale); output channel axis replicated over ch."""
         x = jnp.asarray(x, dtype=jnp.uint32)
         return self._mixing_op("rescale", x, self.rns.rescale)
+
+    def mod_down(self, x, count: int = 1) -> jnp.ndarray:
+        """Iterated rescale on the mesh (see RNSRing.mod_down)."""
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        return self._mixing_op(
+            ("mod_down", int(count)), x,
+            lambda v: self.rns.mod_down(v, count),
+        )
+
+    def keyswitch(
+        self, x, ksk, ext, dnum: int, *, correction: str = "float"
+    ) -> jnp.ndarray:
+        """Hybrid key-switch on the mesh (see RNSRing.keyswitch): sharded
+        gadget digits -> sharded polydot in the extended basis -> sharded
+        ModDown.  The extended-basis ring runs dp/sp-sharded with its
+        channel axis replicated (K generally does not divide the ch axis).
+
+        x: (L, B, n) placed on this ring; ksk: (dnum, K, n) shared key
+        material or (dnum, K, B, n).  Returns (L, B, n)."""
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        ksk = jnp.asarray(ksk, dtype=jnp.uint32)
+        qs_ext = tuple(ext.qs) if hasattr(ext, "qs") else tuple(
+            int(q) for q in ext
+        )
+        L, K, n = self.rns.L, len(qs_ext), self.rns.n
+        if qs_ext[:L] != tuple(self.rns.qs) or K <= L:
+            raise ValueError(
+                "ext basis must extend this ring's primes by >= 1 special"
+            )
+        sext = self._ext_sharded.get(qs_ext)
+        if sext is None:
+            ext_ring = self.rns._ext_rings.get(qs_ext)
+            if ext_ring is None:
+                from ..api import RNSRing
+
+                ext_ring = ext if isinstance(ext, RNSRing) else RNSRing(
+                    n, qs=qs_ext
+                )
+                self.rns._ext_rings[qs_ext] = ext_ring
+            sext = ShardedRNSRing(
+                ext_ring, self.mesh, dp_axis=self.dp_axis,
+                sp_axis=self.sp_axis,
+            )
+            self._ext_sharded[qs_ext] = sext
+        digits = self.gadget_decompose(
+            x, qs_ext, dnum, correction=correction
+        )  # (dnum, K, B, n), batch dp-sharded
+        dig = jnp.moveaxis(digits, 0, -2)  # (K, B, dnum, n)
+        if ksk.ndim == 3:
+            kb = jnp.broadcast_to(
+                jnp.moveaxis(ksk, 0, -2)[:, None], dig.shape
+            )
+        else:
+            kb = jnp.moveaxis(ksk, 0, -2)
+        prod = sext.polydot(sext.shard(dig), sext.shard(kb))
+        return sext.mod_down(prod, count=K - L)
 
     def gadget_decompose(
         self, x, dst, dnum: int, *, correction: str = "float"

@@ -109,6 +109,15 @@ def main():
     print(f"hybrid (dnum={dnum}): digits{np.asarray(digits).shape} "
           f"-> dot{ks_dot.shape} -> lowered{ks_out.shape}")
 
+    # ...or as the one-call production op (shared key material, (dnum,K,n)):
+    ksk_shared = np.stack(
+        [np.stack([rng.integers(0, q, size=n, dtype=np.uint32)
+                   for q in rqp.qs]) for _ in range(dnum)]
+    )
+    one_call = rq.keyswitch(ct[:, :, 0, :], ksk_shared, rqp, dnum)
+    print(f"RNSRing.keyswitch: {ct[:, :, 0, :].shape} -> {one_call.shape} "
+          f"(digits -> polydot -> mod_down fused in one jit)")
+
     # -- big-int oracle for the raise/lower arithmetic -----------------------
     # raise is exact (correction='float'): the special-channel residues must
     # equal the CRT-composed ciphertext mod p

@@ -1,0 +1,198 @@
+"""mod_down and the one-call hybrid keyswitch vs big-int / golden oracles."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from agilex_ntt_tpu import RNSRing
+from agilex_ntt_tpu.golden import negacyclic_convolution
+from agilex_ntt_tpu.params import find_primes
+from agilex_ntt_tpu.utils.crt import crt_compose
+
+
+def _random_bigints(rng, modulus, shape):
+    out = np.zeros(shape, dtype=object)
+    chunks = (modulus.bit_length() + 29) // 30
+    for _ in range(chunks):
+        out = out * (1 << 30) + rng.integers(0, 1 << 30, size=shape).astype(object)
+    return out % modulus
+
+
+def _centered_divide(x, p):
+    s = x % p
+    s = np.where(s > p // 2, s - p, s)
+    return (x - s) // p
+
+
+@pytest.fixture(scope="module")
+def ext_pair():
+    n = 128
+    qs = find_primes(n, 6)
+    rq = RNSRing(n, qs=qs[:4])
+    ext = RNSRing(n, qs=qs)  # Q + 2 specials
+    return rq, ext
+
+
+def test_mod_down_is_iterated_centered_round(ext_pair):
+    _, ext = ext_pair
+    rng = np.random.default_rng(31)
+    x = _random_bigints(rng, ext.modulus, (3, ext.n))
+    res = ext.to_rns(x)
+    out = np.asarray(ext.mod_down(res, count=2))
+    y = _centered_divide(x, ext.qs[-1])
+    y = _centered_divide(y, ext.qs[-2])
+    home = ext.drop_prime(2)
+    assert home.L == ext.L - 2
+    for l, q in enumerate(home.qs):
+        np.testing.assert_array_equal(out[l], (y % q).astype(np.uint32))
+
+
+def test_mod_down_count1_equals_rescale(ext_pair):
+    _, ext = ext_pair
+    rng = np.random.default_rng(32)
+    res = np.stack(
+        [rng.integers(0, q, size=(2, ext.n), dtype=np.uint32) for q in ext.qs]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ext.mod_down(res, 1)), np.asarray(ext.rescale(res))
+    )
+
+
+def test_mod_down_validates(ext_pair):
+    _, ext = ext_pair
+    res = np.zeros((ext.L, 1, ext.n), dtype=np.uint32)
+    with pytest.raises(ValueError):
+        ext.mod_down(res, 0)
+    with pytest.raises(ValueError):
+        ext.mod_down(res, ext.L)
+
+
+def test_keyswitch_matches_public_composition(ext_pair):
+    """keyswitch == gadget_decompose -> polydot -> mod_down assembled from
+    the already-oracle-pinned public pieces."""
+    rq, ext = ext_pair
+    dnum, batch = 2, 4
+    rng = np.random.default_rng(33)
+    x = np.stack(
+        [rng.integers(0, q, size=(batch, rq.n), dtype=np.uint32)
+         for q in rq.qs]
+    )
+    ksk = np.stack(
+        [np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                   for q in ext.qs])
+         for _ in range(dnum)]
+    )  # (dnum, K, n)
+    got = np.asarray(rq.keyswitch(x, ksk, ext, dnum))
+
+    dig = np.asarray(rq.gadget_decompose(x, ext, dnum))  # (dnum, K, B, n)
+    dig_k = jnp.moveaxis(jnp.asarray(dig), 0, -2)        # (K, B, dnum, n)
+    kb = jnp.broadcast_to(
+        jnp.moveaxis(jnp.asarray(ksk), 0, -2)[:, None], dig_k.shape
+    )
+    want = np.asarray(ext.mod_down(ext.polydot(dig_k, kb), count=2))
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == (rq.L, batch, rq.n)
+
+
+def test_keyswitch_bigint_oracle(ext_pair):
+    """Fully independent oracle: big-int digits, O(n^2) negacyclic
+    convolutions per channel, centered ModDown — no device code shared."""
+    rq, ext = ext_pair
+    dnum, batch = 2, 2
+    rng = np.random.default_rng(34)
+    xb = _random_bigints(rng, rq.modulus, (batch, rq.n))
+    x = rq.to_rns(xb)
+    ksk = np.stack(
+        [np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                   for q in ext.qs])
+         for _ in range(dnum)]
+    )
+    got = np.asarray(rq.keyswitch(x, ksk, ext, dnum))
+
+    # oracle digits t_d = [x]_{Q_d}, groups of 2 primes
+    ts = []
+    for lo, hi in ((0, 2), (2, 4)):
+        ts.append(crt_compose(x[lo:hi], rq.qs[lo:hi]))
+    # per extended channel: sum_d negacyclic(t_d mod p, ksk[d, j]) mod p
+    prod = np.zeros((ext.L, batch, ext.n), dtype=object)
+    for j, p in enumerate(ext.qs):
+        for d in range(dnum):
+            for b in range(batch):
+                conv = negacyclic_convolution(
+                    [int(v) for v in (ts[d][b] % p)],
+                    [int(v) for v in ksk[d, j]], p,
+                )
+                prod[j, b] = (prod[j, b] + np.array(conv, dtype=object)) % p
+    big = crt_compose(prod.astype(object), ext.qs)
+    y = _centered_divide(big, ext.qs[-1])
+    y = _centered_divide(y, ext.qs[-2])
+    for l, q in enumerate(rq.qs):
+        np.testing.assert_array_equal(got[l], (y % q).astype(np.uint32))
+
+
+def test_keyswitch_batched_ksk_matches_shared(ext_pair):
+    rq, ext = ext_pair
+    dnum, batch = 2, 3
+    rng = np.random.default_rng(35)
+    x = np.stack(
+        [rng.integers(0, q, size=(batch, rq.n), dtype=np.uint32)
+         for q in rq.qs]
+    )
+    ksk = np.stack(
+        [np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                   for q in ext.qs])
+         for _ in range(dnum)]
+    )
+    full = np.broadcast_to(ksk[:, :, None, :], (dnum, ext.L, batch, rq.n))
+    np.testing.assert_array_equal(
+        np.asarray(rq.keyswitch(x, ksk, ext, dnum)),
+        np.asarray(rq.keyswitch(x, np.ascontiguousarray(full), ext, dnum)),
+    )
+
+
+def test_keyswitch_validates(ext_pair):
+    rq, ext = ext_pair
+    x = np.zeros((rq.L, 1, rq.n), dtype=np.uint32)
+    with pytest.raises(ValueError):
+        rq.keyswitch(x, np.zeros((2, ext.L, rq.n), np.uint32),
+                     find_primes(rq.n, 6)[2:], 2)  # first-L mismatch
+    with pytest.raises(ValueError):
+        rq.keyswitch(x, np.zeros((2, ext.L, rq.n), np.uint32), rq.qs, 2)
+    with pytest.raises(ValueError):
+        rq.keyswitch(x, np.zeros((3, ext.L, rq.n), np.uint32), ext, 2)
+
+
+def test_sharded_keyswitch_and_mod_down_match_single_chip(ext_pair):
+    from agilex_ntt_tpu.parallel import ShardedRNSRing, make_mesh
+
+    rq, ext = ext_pair
+    dnum, batch = 2, 4
+    rng = np.random.default_rng(36)
+    x = np.stack(
+        [rng.integers(0, q, size=(batch, rq.n), dtype=np.uint32)
+         for q in rq.qs]
+    )
+    ksk = np.stack(
+        [np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                   for q in ext.qs])
+         for _ in range(dnum)]
+    )
+    single_ks = np.asarray(rq.keyswitch(x, ksk, ext, dnum))
+    ext_res = np.stack(
+        [rng.integers(0, q, size=(batch, ext.n), dtype=np.uint32)
+         for q in ext.qs]
+    )
+    single_md = np.asarray(ext.mod_down(ext_res, 2))
+
+    mesh = make_mesh(dp=2)
+    srq = ShardedRNSRing(rq, mesh, dp_axis="dp")
+    sext = ShardedRNSRing(ext, mesh, dp_axis="dp")
+    np.testing.assert_array_equal(
+        np.asarray(srq.keyswitch(srq.shard(jnp.asarray(x)), ksk, ext, dnum)),
+        single_ks,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sext.mod_down(sext.shard(jnp.asarray(ext_res)), 2)),
+        single_md,
+    )
