@@ -88,6 +88,30 @@ def main():
     line(f"polydot/s (k={kd}, n={n}, batch={B // 8})",
          round(B // 8 / t, 1), "dot/s", None)
 
+    # one-call hybrid keyswitch (digits -> extended polydot -> ModDown):
+    # the FHE serving inner loop, end to end
+    import numpy as np
+
+    from agilex_ntt_tpu.params import find_primes
+
+    ks_n = 4096 if on_tpu else 256  # CPU XLA compile of the full fused
+    ks_b, dnum = (512, 3) if on_tpu else (8, 3)  # graph at 4096 is minutes
+    ks_qs = find_primes(ks_n, 4)
+    rq = RNSRing(ks_n, qs=ks_qs[:3])
+    rqp = RNSRing(ks_n, qs=ks_qs)
+    rngk = np.random.default_rng(0)
+    ksk = jnp.asarray(np.stack(
+        [np.stack([rngk.integers(0, q, size=ks_n, dtype=np.uint32)
+                   for q in ks_qs]) for _ in range(dnum)]
+    ))
+    xk = jax.random.randint(
+        key, (3, ks_b, ks_n), 0, min(rq.qs), dtype=jnp.uint32
+    )
+    t = best(lambda v: rq.keyswitch(v, ksk, rqp, dnum), xk,
+             max(4, iters // 2))
+    line(f"keyswitch/s (L=3+1, dnum={dnum}, n={ks_n}, batch={ks_b})",
+         round(ks_b / t, 1), "keyswitch/s", None)
+
     # RNS: 3-prime channel throughput
     rb = 2048 if on_tpu else 16
     rns = RNSRing(4096, num_primes=3)
