@@ -9,6 +9,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+import jax
+
+if not (os.environ.get("NTT_TPU_REAL_DEVICE") or os.environ.get("NTT_TPU_REAL_MESH")):
+    try:
+        jax.config.update("jax_platforms", "cpu")  # don't dial the TPU tunnel
+    except RuntimeError:
+        pass
+
 import numpy as np
 
 from agilex_ntt_tpu import CyclicRing, Ring, RNSRing

@@ -168,6 +168,39 @@ def main():
     )
     assert (got_low == mm).all(), "post-rescale decrypt mismatch"
     print(f"rescale: level dropped ({rq.L} -> {home.L} primes), exact")
+
+    # rotation: tau_k(ct) encrypts tau_k(m) under tau_k(s); a rotation key
+    # (the same gadget construction, encrypting P * g_d * tau_k(s)) switches
+    # it back under s — automorphism + keyswitch compose
+    k = 5
+    tau = lambda v: np.asarray(rq.automorphism(np.asarray(v), k))
+    # tau_k on host big-ints for key material / oracle
+    idx = (np.arange(N) * k) % (2 * N)
+    sk_tau = np.zeros(N, dtype=object)
+    for i in range(N):
+        j, wrap = idx[i] % N, idx[i] >= N
+        sk_tau[j] += -s[i] if wrap else s[i]
+    rot_b, rot_a = [], []
+    for d in range(DNUM):
+        qd = rq.qs[d]
+        qhat = Q // qd
+        g_d = qhat * pow(qhat % qd, -1, qd)
+        a_d = uniform_big()
+        e_d = small(2)
+        b_d = -negmul(a_d, s) + e_d + P * g_d * sk_tau
+        rot_b.append(np.stack([(b_d % p).astype(np.uint32) for p in rqp.qs]))
+        rot_a.append(np.stack([(a_d % p).astype(np.uint32) for p in rqp.qs]))
+    r0 = np.asarray(rq.add(tau(ct1[0]),
+                           rq.keyswitch(tau(ct1[1]), np.stack(rot_b), rqp,
+                                        DNUM)))
+    r1 = np.asarray(rq.keyswitch(tau(ct1[1]), np.stack(rot_a), rqp, DNUM))
+    m1_tau = np.zeros(N, dtype=np.int64)
+    for i in range(N):
+        j, wrap = idx[i] % N, idx[i] >= N
+        m1_tau[j] = (m1_tau[j] + (-int(m1[i]) if wrap else int(m1[i]))) % T
+    got_rot = decrypt(s, [r0, r1], DELTA)
+    assert (got_rot == m1_tau % T).all(), "post-rotation decrypt mismatch"
+    print(f"rotate (automorphism tau_{k} + keyswitch): exact")
     print("ckks_rns_toy: full leveled pipeline verified")
 
 
