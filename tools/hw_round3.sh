@@ -16,6 +16,7 @@ TMO=${TMO_OPCOST:-1800}  run opcost   python tools/opcost.py --write
 TMO=1200                 run roofline python tools/roofline.py
 TMO=3600                 run ab_mxu   python tools/ab_mxu.py
 TMO=1800                 run ab_inv   python tools/ab_inv.py
+TMO=3600                 run ab_flat  python tools/ab_flat.py
 TMO=3600                 run suite    python tools/bench_suite.py
 TMO=3600                 run sweep    python tools/sweep.py
 TMO=900                  run bench    python bench.py
