@@ -1176,6 +1176,110 @@ class RNSRing:
             self._jit_cache[key] = fn
         return fn(x, ksk)
 
+    def hoisted_keyswitch(
+        self, x, ksks, ks, ext, dnum: int, *, correction: str = "float"
+    ) -> jnp.ndarray:
+        """Hoisted (Halevi-Shoup) rotation batch: ONE gadget decomposition +
+        ONE forward transform of the digits, shared by every Galois step.
+
+        The BSGS matrix-vector serving primitive: where ``keyswitch`` per
+        rotation costs a full ModUp + dnum*K forward transforms, here the
+        digits are decomposed and NTT'd once; each step k then pays only a
+        slot permutation (tau_k is a pure gather in the evaluation domain),
+        the pointwise dot, one inverse transform, and the ModDown.  Valid
+        because tau_k is a ring automorphism of R_Q: applying it to the
+        gadget reconstruction identity sum_d t_d * g_d = x (mod Q) shows
+        tau_k(t_d) is a decomposition of tau_k(x) with the same magnitude
+        bound (so the same keyswitch noise), even though it differs
+        digit-wise from decompose(tau_k(x)).
+
+        x:    (L, ..., n) residues in this ring's basis (the c1 part).
+        ksks: (nk, dnum, K, n) key material in ``ext``, one rotation key per
+              step, shared across the batch (key k must encrypt
+              P * g_d * tau_k(s)).
+        ks:   sequence of odd Galois exponents (static; cached per tuple).
+        Returns (nk, L, ..., n): entry j is keyswitch(tau_{ks[j]}(x), ksks[j]),
+        to be added to tau_{ks[j]}(c0) by the caller.
+
+        No reference analog (the reference has no ring-operation layer);
+        the hoisting recipe follows the public hybrid-key-switch literature
+        (see PAPERS.md).
+        """
+        from .ops import basechange, gadget
+
+        x = _as_u32(x)
+        self._check(x)
+        ksks = _as_u32(ksks)
+        ks = tuple(int(k) % (2 * self.n) for k in ks)
+        for k in ks:
+            if k % 2 == 0:
+                raise ValueError(f"Galois exponents must be odd, got {k}")
+        qs_ext = tuple(ext.qs) if isinstance(ext, RNSRing) else tuple(
+            int(q) for q in ext
+        )
+        if qs_ext[: self.L] != tuple(self.qs):
+            raise ValueError(
+                "ext basis must extend this ring's (first L primes equal)"
+            )
+        K = len(qs_ext)
+        if K <= self.L:
+            raise ValueError("ext basis must add at least one special prime")
+        if ksks.shape != (len(ks), dnum, K, self.n):
+            raise ValueError(
+                f"ksks must be (nk={len(ks)}, dnum={dnum}, K={K}, "
+                f"n={self.n}), got {ksks.shape}"
+            )
+        ext_ring = self._ext_rings.get(qs_ext)
+        if ext_ring is None:
+            ext_ring = ext if isinstance(ext, RNSRing) else RNSRing(
+                self.n, qs=qs_ext
+            )
+            self._ext_rings[qs_ext] = ext_ring
+        key = ("hoisted_keyswitch", qs_ext, int(dnum), ks, correction, x.ndim)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            qs_src, d, corr = tuple(self.qs), int(dnum), correction
+            gadget.gadget_groups(len(qs_src), d)  # validate eagerly
+            spec = K - self.L
+            # evaluation-domain tau_k slot tables are q-independent: one
+            # numpy table per step (numpy, not device arrays — builders may
+            # run under an enclosing trace, see CLAUDE.md)
+            perms = [ext_ring.rings[0]._auto_tables(k)[2] for k in ks]
+            erings = ext_ring.rings
+
+            def f(v, kk):
+                dig = gadget.gadget_decompose(
+                    v, qs_src, qs_ext, d, correction=corr
+                )  # (dnum, K, ..., n)
+                dnt = ext_ring.ntt(jnp.moveaxis(dig, 0, 1))  # (K, d, ..., n)
+                knt = ext_ring.ntt(jnp.moveaxis(kk, 2, 0))   # (K, nk, d, n)
+                mid = dnt.ndim - 3  # x's middle dims
+                outs = []
+                for j in range(len(ks)):
+                    pd = jnp.take(dnt, jnp.asarray(perms[j]), axis=-1)
+                    kj = knt[:, j].reshape(
+                        (K, d) + (1,) * mid + (self.n,)
+                    )
+                    # per-channel Montgomery pointwise + lazy accumulation,
+                    # bit-identical order to polydot's composed form
+                    chans = []
+                    for i, r in enumerate(erings):
+                        t = mont_mul_lazy(pd[i], kj[i], r.q, r.qinv_neg)
+                        acc = t[0]
+                        two_q = U32(2 * r.q)
+                        for dd in range(1, d):
+                            acc = cond_sub(acc + t[dd], two_q)
+                        chans.append(
+                            r.intt(acc, scale=r.polymul_scale)
+                        )
+                    prod = jnp.stack(chans, axis=0)  # (K, ..., n)
+                    outs.append(basechange.mod_down(prod, qs_ext, spec))
+                return jnp.stack(outs, axis=0)
+
+            fn = jax.jit(f)
+            self._jit_cache[key] = fn
+        return fn(x, ksks)
+
     def gadget_decompose(
         self, x, dst, dnum: int, *, correction: str = "float"
     ) -> jnp.ndarray:

@@ -929,6 +929,78 @@ class ShardedRNSRing:
             lambda v: self.rns.mod_down(v, count),
         )
 
+    def _sharded_ext(self, qs_ext: tuple, ext) -> "ShardedRNSRing":
+        """The extended-basis ring, sharded like this one (dp/sp; channel
+        axis replicated — K generally does not divide the ch axis), cached
+        per prime tuple."""
+        sext = self._ext_sharded.get(qs_ext)
+        if sext is None:
+            ext_ring = self.rns._ext_rings.get(qs_ext)
+            if ext_ring is None:
+                from ..api import RNSRing
+
+                ext_ring = ext if isinstance(ext, RNSRing) else RNSRing(
+                    self.rns.n, qs=qs_ext
+                )
+                self.rns._ext_rings[qs_ext] = ext_ring
+            sext = ShardedRNSRing(
+                ext_ring, self.mesh, dp_axis=self.dp_axis,
+                sp_axis=self.sp_axis,
+            )
+            self._ext_sharded[qs_ext] = sext
+        return sext
+
+    def hoisted_keyswitch(
+        self, x, ksks, ks, ext, dnum: int, *, correction: str = "float"
+    ) -> jnp.ndarray:
+        """Hoisted rotation batch on the mesh (see
+        RNSRing.hoisted_keyswitch): ONE sharded gadget decomposition (the
+        ModUp base conversions — the channel-mixing cost) shared by every
+        Galois step; each step then runs the sharded digit automorphism +
+        sharded polydot + sharded ModDown.  The single-chip op additionally
+        hoists the digits' forward transform; on the mesh each step's
+        polydot re-transforms its permuted digits — the result is
+        bit-identical to the single-chip op either way (the hoisting
+        identity, tested in tests/test_keyswitch.py).
+
+        x: (L, B, n) placed on this ring; ksks: (nk, dnum, K, n) shared key
+        material.  Returns (nk, L, B, n)."""
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        ksks = jnp.asarray(ksks, dtype=jnp.uint32)
+        ks = tuple(int(k) % (2 * self.rns.n) for k in ks)
+        for k in ks:
+            if k % 2 == 0:
+                raise ValueError(f"Galois exponents must be odd, got {k}")
+        qs_ext = tuple(ext.qs) if hasattr(ext, "qs") else tuple(
+            int(q) for q in ext
+        )
+        L, K, n = self.rns.L, len(qs_ext), self.rns.n
+        if qs_ext[:L] != tuple(self.rns.qs) or K <= L:
+            raise ValueError(
+                "ext basis must extend this ring's primes by >= 1 special"
+            )
+        if ksks.shape != (len(ks), dnum, K, n):
+            raise ValueError(
+                f"ksks must be (nk={len(ks)}, dnum={dnum}, K={K}, n={n}), "
+                f"got {ksks.shape}"
+            )
+        sext = self._sharded_ext(qs_ext, ext)
+        digits = self.gadget_decompose(
+            x, qs_ext, dnum, correction=correction
+        )  # (dnum, K, B, n), batch dp-sharded
+        b = x.shape[1]
+        dig_flat = jnp.moveaxis(digits, 0, 1).reshape(K, dnum * b, n)
+        outs = []
+        for j, k in enumerate(ks):
+            tau = sext.automorphism(dig_flat, k)
+            dig_k = jnp.moveaxis(tau.reshape(K, dnum, b, n), 1, -2)
+            kb = jnp.broadcast_to(
+                jnp.moveaxis(ksks[j], 0, -2)[:, None], dig_k.shape
+            )
+            prod = sext.polydot(sext.shard(dig_k), sext.shard(kb))
+            outs.append(sext.mod_down(prod, count=K - L))
+        return jnp.stack(outs, axis=0)
+
     def keyswitch(
         self, x, ksk, ext, dnum: int, *, correction: str = "float"
     ) -> jnp.ndarray:
@@ -949,21 +1021,7 @@ class ShardedRNSRing:
             raise ValueError(
                 "ext basis must extend this ring's primes by >= 1 special"
             )
-        sext = self._ext_sharded.get(qs_ext)
-        if sext is None:
-            ext_ring = self.rns._ext_rings.get(qs_ext)
-            if ext_ring is None:
-                from ..api import RNSRing
-
-                ext_ring = ext if isinstance(ext, RNSRing) else RNSRing(
-                    n, qs=qs_ext
-                )
-                self.rns._ext_rings[qs_ext] = ext_ring
-            sext = ShardedRNSRing(
-                ext_ring, self.mesh, dp_axis=self.dp_axis,
-                sp_axis=self.sp_axis,
-            )
-            self._ext_sharded[qs_ext] = sext
+        sext = self._sharded_ext(qs_ext, ext)
         digits = self.gadget_decompose(
             x, qs_ext, dnum, correction=correction
         )  # (dnum, K, B, n), batch dp-sharded

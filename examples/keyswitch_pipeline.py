@@ -118,6 +118,34 @@ def main():
     print(f"RNSRing.keyswitch: {ct[:, :, 0, :].shape} -> {one_call.shape} "
           f"(digits -> polydot -> mod_down fused in one jit)")
 
+    # -- hoisted rotation batch (Halevi-Shoup) -------------------------------
+    # BSGS matrix-vector serving: ONE decomposition + ONE digit transform
+    # shared by every Galois step; each step pays only an eval-domain slot
+    # permutation + pointwise dot + inverse + ModDown.
+    steps = (3, 5, 2 * n - 1)  # three rotation exponents
+    ksks = np.stack([ksk_shared] * len(steps))  # per-step keys (same here)
+    hoisted = rq.hoisted_keyswitch(ct[:, :, 0, :], ksks, steps, rqp, dnum)
+    assert np.asarray(hoisted).shape == (len(steps), rq.L, batch, n)
+    # step j must equal keyswitching the tau_j'd digits the slow way
+    dig_ch = jnp.moveaxis(jnp.asarray(digits), 0, 1)
+    tau = rqp.automorphism(dig_ch, steps[0])
+    slow = rqp.mod_down(
+        rqp.polydot(
+            jnp.moveaxis(tau, 1, -2),
+            jnp.broadcast_to(
+                jnp.moveaxis(jnp.asarray(ksk_shared), 0, -2)[:, None],
+                jnp.moveaxis(tau, 1, -2).shape,
+            ),
+        ),
+        count=1,
+    )
+    assert (np.asarray(hoisted[0]) == np.asarray(slow)).all(), (
+        "hoisted step 0 disagreed with the per-step composition"
+    )
+    print(f"hoisted_keyswitch: {len(steps)} rotations from one "
+          f"decomposition -> {np.asarray(hoisted).shape}, step 0 bit-exact "
+          f"vs the per-step composition")
+
     # -- big-int oracle for the raise/lower arithmetic -----------------------
     # raise is exact (correction='float'): the special-channel residues must
     # equal the CRT-composed ciphertext mod p

@@ -196,3 +196,104 @@ def test_sharded_keyswitch_and_mod_down_match_single_chip(ext_pair):
         np.asarray(sext.mod_down(sext.shard(jnp.asarray(ext_res)), 2)),
         single_md,
     )
+
+
+def test_hoisted_keyswitch_matches_per_step_composition(ext_pair):
+    """hoisted_keyswitch == per-step (tau on digits -> polydot -> mod_down)
+    assembled from the public pieces.  tau is applied AFTER decomposition on
+    both sides (the hoisting identity: tau of the gadget reconstruction),
+    and the composition exercises the coeff-domain automorphism while the
+    hoisted path permutes NTT slots — equality certifies the eval-domain
+    table against the coeff-domain one through the whole pipeline."""
+    rq, ext = ext_pair
+    dnum, batch = 2, 3
+    ks = (3, 2 * rq.n - 1, 9)
+    rng = np.random.default_rng(41)
+    x = np.stack(
+        [rng.integers(0, q, size=(batch, rq.n), dtype=np.uint32)
+         for q in rq.qs]
+    )
+    ksks = np.stack([
+        np.stack([
+            np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                      for q in ext.qs])
+            for _ in range(dnum)
+        ])
+        for _ in ks
+    ])  # (nk, dnum, K, n)
+    got = np.asarray(rq.hoisted_keyswitch(x, ksks, ks, ext, dnum))
+    assert got.shape == (len(ks), rq.L, batch, rq.n)
+
+    dig = jnp.asarray(np.asarray(rq.gadget_decompose(x, ext, dnum)))
+    dig_ch = jnp.moveaxis(dig, 0, 1)  # (K, dnum, B, n)
+    for j, k in enumerate(ks):
+        tau = ext.automorphism(dig_ch, k)            # coeff domain, per chan
+        dig_k = jnp.moveaxis(tau, 1, -2)             # (K, B, dnum, n)
+        kb = jnp.broadcast_to(
+            jnp.moveaxis(jnp.asarray(ksks[j]), 0, -2)[:, None], dig_k.shape
+        )
+        want = np.asarray(ext.mod_down(ext.polydot(dig_k, kb), count=2))
+        np.testing.assert_array_equal(got[j], want)
+
+
+def test_hoisted_keyswitch_single_step_no_batch(ext_pair):
+    """ks of length 1 and a batchless (L, n) input both round through."""
+    rq, ext = ext_pair
+    dnum = rq.L
+    rng = np.random.default_rng(43)
+    x = np.stack(
+        [rng.integers(0, q, size=rq.n, dtype=np.uint32) for q in rq.qs]
+    )
+    ksks = np.stack([
+        np.stack([
+            np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                      for q in ext.qs])
+            for _ in range(dnum)
+        ])
+    ])
+    got = np.asarray(rq.hoisted_keyswitch(x, ksks, (5,), ext, dnum))
+    assert got.shape == (1, rq.L, rq.n)
+    dig = jnp.asarray(np.asarray(rq.gadget_decompose(x, ext, dnum)))
+    tau = ext.automorphism(jnp.moveaxis(dig, 0, 1), 5)
+    dig_k = jnp.moveaxis(tau, 1, -2)
+    kb = jnp.moveaxis(jnp.asarray(ksks[0]), 0, -2)
+    want = np.asarray(ext.mod_down(ext.polydot(dig_k, kb), count=2))
+    np.testing.assert_array_equal(got[0], want)
+
+
+def test_hoisted_keyswitch_validates(ext_pair):
+    rq, ext = ext_pair
+    x = np.zeros((rq.L, rq.n), dtype=np.uint32)
+    ksks = np.zeros((1, 2, ext.L, rq.n), dtype=np.uint32)
+    with pytest.raises(ValueError, match="odd"):
+        rq.hoisted_keyswitch(x, ksks, (4,), ext, 2)
+    with pytest.raises(ValueError, match="ksks"):
+        rq.hoisted_keyswitch(x, ksks[:, :1], (3,), ext, 2)
+
+
+def test_sharded_hoisted_keyswitch_matches_single_chip(ext_pair):
+    from agilex_ntt_tpu.parallel import ShardedRNSRing, make_mesh
+
+    rq, ext = ext_pair
+    dnum, batch = 2, 4
+    ks = (3, 7)
+    rng = np.random.default_rng(47)
+    x = np.stack(
+        [rng.integers(0, q, size=(batch, rq.n), dtype=np.uint32)
+         for q in rq.qs]
+    )
+    ksks = np.stack([
+        np.stack([
+            np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                      for q in ext.qs])
+            for _ in range(dnum)
+        ])
+        for _ in ks
+    ])
+    single = np.asarray(rq.hoisted_keyswitch(x, ksks, ks, ext, dnum))
+    mesh = make_mesh(dp=2)
+    srq = ShardedRNSRing(rq, mesh, dp_axis="dp")
+    got = np.asarray(
+        srq.hoisted_keyswitch(srq.shard(jnp.asarray(x)), ksks, ks, ext, dnum)
+    )
+    np.testing.assert_array_equal(got, single)

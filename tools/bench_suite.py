@@ -112,6 +112,26 @@ def main():
     line(f"keyswitch/s (L=3+1, dnum={dnum}, n={ks_n}, batch={ks_b})",
          round(ks_b / t, 1), "keyswitch/s", None)
 
+    # hoisted rotation batch: one decomposition + one digit transform
+    # shared by nk Galois steps (the BSGS matvec inner loop); report the
+    # per-rotation rate next to nk separate keyswitch calls
+    nk = 8 if on_tpu else 2
+    hks = (tuple(range(3, 3 + 2 * nk, 2)))
+    ksks = jnp.asarray(np.stack([np.asarray(ksk)] * nk))
+    hk_b = ks_b // 4 if on_tpu else ks_b
+    xh = xk[:, :hk_b]
+    t = best(
+        lambda v: rq.hoisted_keyswitch(v, ksks, hks, rqp, dnum)[0]
+        .astype(jnp.uint32),
+        xh, max(4, iters // 4),
+    )
+    line(f"hoisted rotations/s (nk={nk}, dnum={dnum}, n={ks_n}, "
+         f"batch={hk_b})", round(nk * hk_b / t, 1), "rotation/s", None)
+    t = best(lambda v: rq.keyswitch(v, ksk, rqp, dnum), xh,
+             max(4, iters // 4))
+    line(f"unhoisted rotations/s (nk={nk}, dnum={dnum}, n={ks_n}, "
+         f"batch={hk_b})", round(hk_b / t, 1), "rotation/s", None)
+
     # RNS: 3-prime channel throughput
     rb = 2048 if on_tpu else 16
     rns = RNSRing(4096, num_primes=3)
