@@ -809,6 +809,25 @@ class CyclicRing:
         )
 
 
+def _evaldot_intt(erings, fx, fk, d: int) -> jnp.ndarray:
+    """polydot's exact arithmetic on PRE-TRANSFORMED operands: per channel,
+    Montgomery pointwise products accumulated lazily in ascending digit
+    order ([0, 2q) with one conditional subtraction per term — bit-identical
+    to Ring.polydot's composition), then the inverse transform with the
+    Montgomery R folded into the scale.  fx: (K, d, ..., n) eval-domain
+    digits; fk: (K, d, [1s,] n) eval-domain key (broadcasts); returns
+    (K, ..., n) coefficient-domain in [0, q)."""
+    chans = []
+    for i, r in enumerate(erings):
+        t = mont_mul_lazy(fx[i], fk[i], r.q, r.qinv_neg)
+        acc = t[0]
+        two_q = U32(2 * r.q)
+        for dd in range(1, d):
+            acc = cond_sub(acc + t[dd], two_q)
+        chans.append(r.intt(acc, scale=r.polymul_scale))
+    return jnp.stack(chans, axis=0)
+
+
 class RNSRing:
     """Residue-number-system ring: L independent prime channels for one n.
 
@@ -1107,7 +1126,8 @@ class RNSRing:
         return fn(x)
 
     def keyswitch(
-        self, x, ksk, ext, dnum: int, *, correction: str = "float"
+        self, x, ksk, ext, dnum: int, *, correction: str = "float",
+        ksk_domain: str = "coeff",
     ) -> jnp.ndarray:
         """One-call hybrid key-switch: gadget-decompose ``x`` into ``dnum``
         digits, raise them into the extended basis ``ext``, dot against the
@@ -1119,6 +1139,10 @@ class RNSRing:
              matching x's lead dims.
         ext: RNSRing or K primes; its first L primes MUST be this ring's
              (so the ModDown by the K-L special primes lands back here).
+        ksk_domain: "coeff" transforms the key inside the call; "ntt"
+             accepts keys pre-transformed once via ``ksk_to_ntt`` — the
+             serving configuration, saving dnum*K forward transforms per
+             call.  Bit-identical outputs.
         Returns (L, ..., n) residues of round(sum_d t_d * ksk_d / P).
         """
         from .ops import basechange, gadget
@@ -1126,6 +1150,8 @@ class RNSRing:
         x = _as_u32(x)
         self._check(x)
         ksk = _as_u32(ksk)
+        if ksk_domain not in ("coeff", "ntt"):
+            raise ValueError(f"unknown ksk_domain {ksk_domain!r}")
         qs_ext = tuple(ext.qs) if isinstance(ext, RNSRing) else tuple(
             int(q) for q in ext
         )
@@ -1149,35 +1175,77 @@ class RNSRing:
                 f"ksk must be (dnum={dnum}, K={K}, [...,] n={self.n}), "
                 f"got {ksk.shape}"
             )
-        key = ("keyswitch", qs_ext, int(dnum), correction, shared, x.ndim)
+        key = ("keyswitch", qs_ext, int(dnum), correction, shared, x.ndim,
+               ksk_domain)
         fn = self._jit_cache.get(key)
         if fn is None:
             qs_src, d, corr = tuple(self.qs), int(dnum), correction
             gadget.gadget_groups(len(qs_src), d)  # validate eagerly
             spec = K - self.L
 
-            def f(v, kk):
-                dig = gadget.gadget_decompose(
-                    v, qs_src, qs_ext, d, correction=corr
-                )  # (dnum, K, ..., n)
-                dig = jnp.moveaxis(dig, 0, -2)  # (K, ..., dnum, n)
-                kb = jnp.moveaxis(kk, 0, -2)    # (K, [...,] dnum, n)
-                if shared:
-                    kb = jnp.broadcast_to(
-                        kb.reshape(
-                            (K,) + (1,) * (dig.ndim - 3) + kb.shape[-2:]
-                        ),
-                        dig.shape,
-                    )
-                prod = ext_ring.polydot(dig, kb)  # (K, ..., n)
-                return basechange.mod_down(prod, qs_ext, spec)
+            if ksk_domain == "ntt":
+                erings = ext_ring.rings
+
+                def f(v, kk):
+                    dig = gadget.gadget_decompose(
+                        v, qs_src, qs_ext, d, correction=corr
+                    )  # (dnum, K, ..., n)
+                    fx = ext_ring.ntt(jnp.moveaxis(dig, 0, 1))  # (K,d,...,n)
+                    kb = jnp.moveaxis(kk, 0, 1)  # (K, d, [...,] n), eval dom
+                    if shared:
+                        kb = kb.reshape(
+                            (K, d) + (1,) * (fx.ndim - 3) + (self.n,)
+                        )
+                    prod = _evaldot_intt(erings, fx, kb, d)  # (K, ..., n)
+                    return basechange.mod_down(prod, qs_ext, spec)
+
+            else:
+
+                def f(v, kk):
+                    dig = gadget.gadget_decompose(
+                        v, qs_src, qs_ext, d, correction=corr
+                    )  # (dnum, K, ..., n)
+                    dig = jnp.moveaxis(dig, 0, -2)  # (K, ..., dnum, n)
+                    kb = jnp.moveaxis(kk, 0, -2)    # (K, [...,] dnum, n)
+                    if shared:
+                        kb = jnp.broadcast_to(
+                            kb.reshape(
+                                (K,) + (1,) * (dig.ndim - 3) + kb.shape[-2:]
+                            ),
+                            dig.shape,
+                        )
+                    prod = ext_ring.polydot(dig, kb)  # (K, ..., n)
+                    return basechange.mod_down(prod, qs_ext, spec)
 
             fn = jax.jit(f)
             self._jit_cache[key] = fn
         return fn(x, ksk)
 
+    def ksk_to_ntt(self, ksk, ext, *, ch_axis: int = 1) -> jnp.ndarray:
+        """Precompute evaluation-domain key material: per-channel NTT of
+        coeff-domain keys, done ONCE at key setup instead of per call.
+
+        ksk: any layout with the extended-basis channel axis at ``ch_axis``
+        and coefficients last — (dnum, K, n) for ``keyswitch`` (default
+        ch_axis=1), (nk, dnum, K, n) for ``hoisted_keyswitch`` (ch_axis=2).
+        Pass the result with ksk_domain="ntt"; outputs are bit-identical
+        to the coeff-domain path.
+        """
+        qs_ext = tuple(ext.qs) if isinstance(ext, RNSRing) else tuple(
+            int(q) for q in ext
+        )
+        ext_ring = self._ext_rings.get(qs_ext)
+        if ext_ring is None:
+            ext_ring = ext if isinstance(ext, RNSRing) else RNSRing(
+                self.n, qs=qs_ext
+            )
+            self._ext_rings[qs_ext] = ext_ring
+        arr = jnp.moveaxis(_as_u32(ksk), ch_axis, 0)
+        return jnp.moveaxis(ext_ring.ntt(arr), 0, ch_axis)
+
     def hoisted_keyswitch(
-        self, x, ksks, ks, ext, dnum: int, *, correction: str = "float"
+        self, x, ksks, ks, ext, dnum: int, *, correction: str = "float",
+        ksk_domain: str = "coeff",
     ) -> jnp.ndarray:
         """Hoisted (Halevi-Shoup) rotation batch: ONE gadget decomposition +
         ONE forward transform of the digits, shared by every Galois step.
@@ -1196,7 +1264,8 @@ class RNSRing:
         x:    (L, ..., n) residues in this ring's basis (the c1 part).
         ksks: (nk, dnum, K, n) key material in ``ext``, one rotation key per
               step, shared across the batch (key k must encrypt
-              P * g_d * tau_k(s)).
+              P * g_d * tau_k(s)).  ksk_domain="ntt" accepts keys
+              pre-transformed via ``ksk_to_ntt(ksks, ext, ch_axis=2)``.
         ks:   sequence of odd Galois exponents (static; cached per tuple).
         Returns (nk, L, ..., n): entry j is keyswitch(tau_{ks[j]}(x), ksks[j]),
         to be added to tau_{ks[j]}(c0) by the caller.
@@ -1210,6 +1279,8 @@ class RNSRing:
         x = _as_u32(x)
         self._check(x)
         ksks = _as_u32(ksks)
+        if ksk_domain not in ("coeff", "ntt"):
+            raise ValueError(f"unknown ksk_domain {ksk_domain!r}")
         ks = tuple(int(k) % (2 * self.n) for k in ks)
         for k in ks:
             if k % 2 == 0:
@@ -1235,7 +1306,8 @@ class RNSRing:
                 self.n, qs=qs_ext
             )
             self._ext_rings[qs_ext] = ext_ring
-        key = ("hoisted_keyswitch", qs_ext, int(dnum), ks, correction, x.ndim)
+        key = ("hoisted_keyswitch", qs_ext, int(dnum), ks, correction, x.ndim,
+               ksk_domain)
         fn = self._jit_cache.get(key)
         if fn is None:
             qs_src, d, corr = tuple(self.qs), int(dnum), correction
@@ -1246,13 +1318,15 @@ class RNSRing:
             # run under an enclosing trace, see CLAUDE.md)
             perms = [ext_ring.rings[0]._auto_tables(k)[2] for k in ks]
             erings = ext_ring.rings
+            pre_ntt = ksk_domain == "ntt"
 
             def f(v, kk):
                 dig = gadget.gadget_decompose(
                     v, qs_src, qs_ext, d, correction=corr
                 )  # (dnum, K, ..., n)
                 dnt = ext_ring.ntt(jnp.moveaxis(dig, 0, 1))  # (K, d, ..., n)
-                knt = ext_ring.ntt(jnp.moveaxis(kk, 2, 0))   # (K, nk, d, n)
+                kt = jnp.moveaxis(kk, 2, 0)                  # (K, nk, d, n)
+                knt = kt if pre_ntt else ext_ring.ntt(kt)
                 mid = dnt.ndim - 3  # x's middle dims
                 outs = []
                 for j in range(len(ks)):
@@ -1260,19 +1334,7 @@ class RNSRing:
                     kj = knt[:, j].reshape(
                         (K, d) + (1,) * mid + (self.n,)
                     )
-                    # per-channel Montgomery pointwise + lazy accumulation,
-                    # bit-identical order to polydot's composed form
-                    chans = []
-                    for i, r in enumerate(erings):
-                        t = mont_mul_lazy(pd[i], kj[i], r.q, r.qinv_neg)
-                        acc = t[0]
-                        two_q = U32(2 * r.q)
-                        for dd in range(1, d):
-                            acc = cond_sub(acc + t[dd], two_q)
-                        chans.append(
-                            r.intt(acc, scale=r.polymul_scale)
-                        )
-                    prod = jnp.stack(chans, axis=0)  # (K, ..., n)
+                    prod = _evaldot_intt(erings, pd, kj, d)  # (K, ..., n)
                     outs.append(basechange.mod_down(prod, qs_ext, spec))
                 return jnp.stack(outs, axis=0)
 

@@ -297,3 +297,37 @@ def test_sharded_hoisted_keyswitch_matches_single_chip(ext_pair):
         srq.hoisted_keyswitch(srq.shard(jnp.asarray(x)), ksks, ks, ext, dnum)
     )
     np.testing.assert_array_equal(got, single)
+
+
+def test_ntt_domain_keys_bit_identical(ext_pair):
+    """ksk_to_ntt + ksk_domain='ntt' == the coeff-domain path, bit for bit,
+    for both keyswitch and hoisted_keyswitch (the serving configuration:
+    keys transformed once at setup, not per call)."""
+    rq, ext = ext_pair
+    dnum, batch = 2, 3
+    ks = (3, 7)
+    rng = np.random.default_rng(53)
+    x = np.stack(
+        [rng.integers(0, q, size=(batch, rq.n), dtype=np.uint32)
+         for q in rq.qs]
+    )
+    ksk = np.stack(
+        [np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                   for q in ext.qs])
+         for _ in range(dnum)]
+    )
+    want = np.asarray(rq.keyswitch(x, ksk, ext, dnum))
+    ksk_ntt = rq.ksk_to_ntt(ksk, ext)
+    got = np.asarray(rq.keyswitch(x, ksk_ntt, ext, dnum, ksk_domain="ntt"))
+    np.testing.assert_array_equal(got, want)
+
+    ksks = np.stack([ksk] * len(ks))
+    want_h = np.asarray(rq.hoisted_keyswitch(x, ksks, ks, ext, dnum))
+    ksks_ntt = rq.ksk_to_ntt(ksks, ext, ch_axis=2)
+    got_h = np.asarray(
+        rq.hoisted_keyswitch(x, ksks_ntt, ks, ext, dnum, ksk_domain="ntt")
+    )
+    np.testing.assert_array_equal(got_h, want_h)
+
+    with pytest.raises(ValueError, match="ksk_domain"):
+        rq.keyswitch(x, ksk, ext, dnum, ksk_domain="eval")

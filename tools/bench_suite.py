@@ -131,6 +131,16 @@ def main():
              max(4, iters // 4))
     line(f"unhoisted rotations/s (nk={nk}, dnum={dnum}, n={ks_n}, "
          f"batch={hk_b})", round(hk_b / t, 1), "rotation/s", None)
+    # serving configuration: keys pre-transformed once (ksk_to_ntt)
+    ksks_ntt = rq.ksk_to_ntt(ksks, rqp, ch_axis=2)
+    t = best(
+        lambda v: rq.hoisted_keyswitch(
+            v, ksks_ntt, hks, rqp, dnum, ksk_domain="ntt"
+        )[0].astype(jnp.uint32),
+        xh, max(4, iters // 4),
+    )
+    line(f"hoisted+nttkeys rotations/s (nk={nk}, dnum={dnum}, n={ks_n}, "
+         f"batch={hk_b})", round(nk * hk_b / t, 1), "rotation/s", None)
 
     # RNS: 3-prime channel throughput
     rb = 2048 if on_tpu else 16
