@@ -1342,6 +1342,180 @@ class RNSRing:
             self._jit_cache[key] = fn
         return fn(x, ksks)
 
+    def hoisted_linear_sum(
+        self, c0, c1, pts, ksks_b, ksks_a, ks, ext, dnum: int, *,
+        correction: str = "float", ksk_domain: str = "coeff",
+        pt_domain: str = "coeff",
+    ):
+        """Fused BSGS linear transform: sum_j pt_j (*) tau_{k_j}(ct) over a
+        ciphertext ct = (c0, c1), with the key-switch hoisted AND the ModDown
+        deferred — the homomorphic matrix-vector inner loop.
+
+        On top of ``hoisted_keyswitch``'s sharing (one gadget decomposition +
+        one digit transform for every step), this fuses the per-step
+        plaintext multiply into the evaluation domain and accumulates the
+        extended-basis products BEFORE the ModDown, so the whole nk-term sum
+        pays ONE inverse-transform set and ONE ModDown per ciphertext part
+        instead of nk — the standard deferred-ModDown BSGS recipe from the
+        hybrid-key-switch literature (PAPERS.md).  Exact semantics (the spec
+        the tests pin, built from public ops):
+
+            accB = sum_j ext.polymul(pt_j, ext.polydot(tau_kj(digits), kb_j))
+            accA = ...                  (same with ka_j)
+            out0 = sum_j polymul(pt_j[:L], automorphism(c0, k_j))
+                   + mod_down(accB)
+            out1 = mod_down(accA)
+
+        (The per-step ModDown rounding is therefore applied once to the
+        accumulated sum — the scheme-level noise is sum_j |pt_j| * e_round
+        either way; the deferred form is what production BSGS uses.)
+
+        c0, c1: (L, ..., n) ciphertext parts, coefficient domain.
+        pts:    (nk, K, n) plaintext weights as residues in the EXTENDED
+                basis (first L rows double as the base-ring residues for the
+                c0 part), shared across the batch.  pt_domain="ntt" accepts
+                weights pre-transformed via ``ext.ntt(moveaxis(pts, 1, 0))``
+                moved back — i.e. ``ksk_to_ntt(pts, ext, ch_axis=1)``.
+        ksks_b, ksks_a: (nk, dnum, K, n) rotation-key halves (key j must
+                encrypt P * g_d * tau_{k_j}(s)); ksk_domain="ntt" accepts
+                ``ksk_to_ntt(..., ch_axis=2)`` material.
+        ks:     odd Galois exponents, one per term (static, cached).
+        Returns (out0, out1), each (L, ..., n): the linear-transform result
+        as a fresh ciphertext under the original key.
+
+        No reference analog (the reference stops at the transform layer);
+        this is the production serving op its NTT feeds in an FHE stack.
+        """
+        from .ops import basechange, gadget
+
+        c0 = _as_u32(c0)
+        c1 = _as_u32(c1)
+        self._check(c0)
+        self._check(c1)
+        pts = _as_u32(pts)
+        ksks_b = _as_u32(ksks_b)
+        ksks_a = _as_u32(ksks_a)
+        for name, dom in (("ksk_domain", ksk_domain), ("pt_domain", pt_domain)):
+            if dom not in ("coeff", "ntt"):
+                raise ValueError(f"unknown {name} {dom!r}")
+        ks = tuple(int(k) % (2 * self.n) for k in ks)
+        for k in ks:
+            if k % 2 == 0:
+                raise ValueError(f"Galois exponents must be odd, got {k}")
+        qs_ext = tuple(ext.qs) if isinstance(ext, RNSRing) else tuple(
+            int(q) for q in ext
+        )
+        if qs_ext[: self.L] != tuple(self.qs):
+            raise ValueError(
+                "ext basis must extend this ring's (first L primes equal)"
+            )
+        K = len(qs_ext)
+        if K <= self.L:
+            raise ValueError("ext basis must add at least one special prime")
+        nk = len(ks)
+        for nm, arr in (("ksks_b", ksks_b), ("ksks_a", ksks_a)):
+            if arr.shape != (nk, dnum, K, self.n):
+                raise ValueError(
+                    f"{nm} must be (nk={nk}, dnum={dnum}, K={K}, "
+                    f"n={self.n}), got {arr.shape}"
+                )
+        if pts.shape != (nk, K, self.n):
+            raise ValueError(
+                f"pts must be (nk={nk}, K={K}, n={self.n}), got {pts.shape}"
+            )
+        ext_ring = self._ext_rings.get(qs_ext)
+        if ext_ring is None:
+            ext_ring = ext if isinstance(ext, RNSRing) else RNSRing(
+                self.n, qs=qs_ext
+            )
+            self._ext_rings[qs_ext] = ext_ring
+        key = ("hoisted_linear_sum", qs_ext, int(dnum), ks, correction,
+               c0.ndim, ksk_domain, pt_domain)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            qs_src, d, corr = tuple(self.qs), int(dnum), correction
+            gadget.gadget_groups(len(qs_src), d)  # validate eagerly
+            spec = K - self.L
+            # eval-domain tau_k slot tables are q-independent (numpy, not
+            # device arrays — builders may run under an enclosing trace)
+            perms = [ext_ring.rings[0]._auto_tables(k)[2] for k in ks]
+            erings = ext_ring.rings
+            brings = self.rings
+            pre_ntt = ksk_domain == "ntt"
+            pre_pt = pt_domain == "ntt"
+            this = self
+            n = self.n
+
+            def f(v0, v1, pt, kb, ka):
+                dig = gadget.gadget_decompose(
+                    v1, qs_src, qs_ext, d, correction=corr
+                )  # (dnum, K, ..., n)
+                dnt = ext_ring.ntt(jnp.moveaxis(dig, 0, 1))  # (K, d, ..., n)
+                kbt = jnp.moveaxis(kb, 2, 0)                 # (K, nk, d, n)
+                kat = jnp.moveaxis(ka, 2, 0)
+                if not pre_ntt:
+                    kbt, kat = ext_ring.ntt(kbt), ext_ring.ntt(kat)
+                ptt = jnp.moveaxis(pt, 1, 0)                 # (K, nk, n)
+                if not pre_pt:
+                    ptt = ext_ring.ntt(ptt)
+                c0nt = this.ntt(v0)                          # (L, ..., n)
+                mid = dnt.ndim - 3  # ciphertext middle (batch) dims
+                kshape = (d,) + (1,) * mid + (n,)
+                pshape = (1,) * mid + (n,)
+                outB, outA = [], []
+                for i, r in enumerate(erings):
+                    q, qi, two_q = r.q, r.qinv_neg, U32(2 * r.q)
+                    aB = aA = None
+                    for j in range(nk):
+                        pd = jnp.take(
+                            dnt[i], jnp.asarray(perms[j]), axis=-1
+                        )  # (d, ..., n)
+                        tb = mont_mul_lazy(
+                            pd, kbt[i, j].reshape(kshape), q, qi
+                        )
+                        ta = mont_mul_lazy(
+                            pd, kat[i, j].reshape(kshape), q, qi
+                        )
+                        db, da = tb[0], ta[0]
+                        for dd in range(1, d):
+                            db = cond_sub(db + tb[dd], two_q)
+                            da = cond_sub(da + ta[dd], two_q)
+                        pj = ptt[i, j].reshape(pshape)
+                        vb = mont_mul_lazy(pj, db, q, qi)
+                        va = mont_mul_lazy(pj, da, q, qi)
+                        aB = vb if aB is None else cond_sub(aB + vb, two_q)
+                        aA = va if aA is None else cond_sub(aA + va, two_q)
+                    # two stray R^{-1} (digit dot + pt multiply): fold R^2
+                    s2 = r.n_inv * r.r2_mod_q % r.q
+                    outB.append(r.intt(aB, scale=s2))
+                    outA.append(r.intt(aA, scale=s2))
+                Bdn = basechange.mod_down(
+                    jnp.stack(outB, axis=0), qs_ext, spec
+                )
+                out1 = basechange.mod_down(
+                    jnp.stack(outA, axis=0), qs_ext, spec
+                )
+                # c0 part on the base ring: one stray R^{-1} -> polymul_scale
+                out0 = []
+                for i, r in enumerate(brings):
+                    q, qi, two_q = r.q, r.qinv_neg, U32(2 * r.q)
+                    aC = None
+                    for j in range(nk):
+                        pc = jnp.take(
+                            c0nt[i], jnp.asarray(perms[j]), axis=-1
+                        )
+                        vc = mont_mul_lazy(
+                            ptt[i, j].reshape(pshape), pc, q, qi
+                        )
+                        aC = vc if aC is None else cond_sub(aC + vc, two_q)
+                    csum = r.intt(aC, scale=r.polymul_scale)
+                    out0.append(cond_sub(csum + Bdn[i], U32(q)))
+                return jnp.stack(out0, axis=0), out1
+
+            fn = jax.jit(f)
+            self._jit_cache[key] = fn
+        return fn(c0, c1, pts, ksks_b, ksks_a)
+
     def gadget_decompose(
         self, x, dst, dnum: int, *, correction: str = "float"
     ) -> jnp.ndarray:

@@ -1001,6 +1001,85 @@ class ShardedRNSRing:
             outs.append(sext.mod_down(prod, count=K - L))
         return jnp.stack(outs, axis=0)
 
+    def hoisted_linear_sum(
+        self, c0, c1, pts, ksks_b, ksks_a, ks, ext, dnum: int, *,
+        correction: str = "float",
+    ):
+        """BSGS linear transform on the mesh (see RNSRing.hoisted_linear_sum):
+        sum_j pt_j (*) tau_{k_j}(ct) with ONE sharded gadget decomposition
+        and ONE deferred ModDown per ciphertext part.  Built as the sharded
+        public-op composition (automorphism -> polydot -> polymul ->
+        extended-basis accumulate), which the single-chip fused op is
+        bit-identical to by construction (tests/test_keyswitch.py pins the
+        spec); dp/sp shardings ride each constituent op.
+
+        c0, c1: (L, B, n) placed on this ring; pts: (nk, K, n) and
+        ksks_b/ksks_a: (nk, dnum, K, n) shared material.
+        Returns (out0, out1), each (L, B, n)."""
+        c0 = jnp.asarray(c0, dtype=jnp.uint32)
+        c1 = jnp.asarray(c1, dtype=jnp.uint32)
+        pts = jnp.asarray(pts, dtype=jnp.uint32)
+        ksks_b = jnp.asarray(ksks_b, dtype=jnp.uint32)
+        ksks_a = jnp.asarray(ksks_a, dtype=jnp.uint32)
+        ks = tuple(int(k) % (2 * self.rns.n) for k in ks)
+        for k in ks:
+            if k % 2 == 0:
+                raise ValueError(f"Galois exponents must be odd, got {k}")
+        qs_ext = tuple(ext.qs) if hasattr(ext, "qs") else tuple(
+            int(q) for q in ext
+        )
+        L, K, n = self.rns.L, len(qs_ext), self.rns.n
+        if qs_ext[:L] != tuple(self.rns.qs) or K <= L:
+            raise ValueError(
+                "ext basis must extend this ring's primes by >= 1 special"
+            )
+        nk = len(ks)
+        for nm, arr in (("ksks_b", ksks_b), ("ksks_a", ksks_a)):
+            if arr.shape != (nk, dnum, K, n):
+                raise ValueError(
+                    f"{nm} must be (nk={nk}, dnum={dnum}, K={K}, n={n}), "
+                    f"got {arr.shape}"
+                )
+        if pts.shape != (nk, K, n):
+            raise ValueError(
+                f"pts must be (nk={nk}, K={K}, n={n}), got {pts.shape}"
+            )
+        sext = self._sharded_ext(qs_ext, ext)
+        digits = self.gadget_decompose(
+            c1, qs_ext, dnum, correction=correction
+        )  # (dnum, K, B, n), batch dp-sharded
+        b = c1.shape[1]
+        dig_flat = jnp.moveaxis(digits, 0, 1).reshape(K, dnum * b, n)
+        accB = accA = c0sum = None
+        for j, k in enumerate(ks):
+            tau = sext.automorphism(dig_flat, k)
+            dig_k = jnp.moveaxis(tau.reshape(K, dnum, b, n), 1, -2)
+            kb = jnp.broadcast_to(
+                jnp.moveaxis(ksks_b[j], 0, -2)[:, None], dig_k.shape
+            )
+            ka = jnp.broadcast_to(
+                jnp.moveaxis(ksks_a[j], 0, -2)[:, None], dig_k.shape
+            )
+            dig_s = sext.shard(dig_k)
+            pdb = sext.polydot(dig_s, sext.shard(kb))
+            pda = sext.polydot(dig_s, sext.shard(ka))
+            ptj = sext.shard(
+                jnp.broadcast_to(pts[j][:, None], (K, b, n))
+            )
+            tb = sext.polymul(ptj, pdb)
+            ta = sext.polymul(ptj, pda)
+            accB = tb if accB is None else sext.rns.add(accB, tb)
+            accA = ta if accA is None else sext.rns.add(accA, ta)
+            tau_c0 = self.automorphism(c0, k)
+            ptl = self.shard(
+                jnp.broadcast_to(pts[j][:L, None], (L, b, n))
+            )
+            tc = self.polymul(ptl, tau_c0)
+            c0sum = tc if c0sum is None else self.rns.add(c0sum, tc)
+        out0 = self.rns.add(c0sum, sext.mod_down(accB, count=K - L))
+        out1 = sext.mod_down(accA, count=K - L)
+        return out0, out1
+
     def keyswitch(
         self, x, ksk, ext, dnum: int, *, correction: str = "float"
     ) -> jnp.ndarray:

@@ -331,3 +331,156 @@ def test_ntt_domain_keys_bit_identical(ext_pair):
 
     with pytest.raises(ValueError, match="ksk_domain"):
         rq.keyswitch(x, ksk, ext, dnum, ksk_domain="eval")
+
+
+def _linear_sum_spec(rq, ext, c0, c1, pts, ksks_b, ksks_a, ks, dnum):
+    """The public-op composition hoisted_linear_sum must match bit for bit:
+    per step tau-after-decompose -> polydot -> plaintext polymul, products
+    accumulated in the EXTENDED basis, ONE deferred mod_down per part."""
+    spec = ext.L - rq.L
+    dig = jnp.asarray(np.asarray(rq.gadget_decompose(c1, ext, dnum)))
+    dig_ch = jnp.moveaxis(dig, 0, 1)  # (K, dnum, ..., n)
+    accB = accA = c0sum = None
+    for j, k in enumerate(ks):
+        tau = ext.automorphism(dig_ch, k)
+        dig_k = jnp.moveaxis(tau, 1, -2)  # (K, ..., dnum, n)
+        kb = jnp.broadcast_to(
+            jnp.moveaxis(jnp.asarray(ksks_b[j]), 0, -2).reshape(
+                (ext.L,) + (1,) * (dig_k.ndim - 3) + (dnum, rq.n)
+            ),
+            dig_k.shape,
+        )
+        ka = jnp.broadcast_to(
+            jnp.moveaxis(jnp.asarray(ksks_a[j]), 0, -2).reshape(
+                (ext.L,) + (1,) * (dig_k.ndim - 3) + (dnum, rq.n)
+            ),
+            dig_k.shape,
+        )
+        pdb = ext.polydot(dig_k, kb)  # (K, ..., n)
+        pda = ext.polydot(dig_k, ka)
+        ptj = jnp.broadcast_to(
+            jnp.asarray(pts[j]).reshape(
+                (ext.L,) + (1,) * (pdb.ndim - 2) + (rq.n,)
+            ),
+            pdb.shape,
+        )
+        tb = ext.polymul(ptj, pdb)
+        ta = ext.polymul(ptj, pda)
+        accB = tb if accB is None else ext.add(accB, tb)
+        accA = ta if accA is None else ext.add(accA, ta)
+        tau_c0 = rq.automorphism(jnp.asarray(c0), k)
+        ptl = jnp.broadcast_to(
+            jnp.asarray(pts[j][: rq.L]).reshape(
+                (rq.L,) + (1,) * (tau_c0.ndim - 2) + (rq.n,)
+            ),
+            tau_c0.shape,
+        )
+        tc = rq.polymul(ptl, tau_c0)
+        c0sum = tc if c0sum is None else rq.add(c0sum, tc)
+    out0 = rq.add(c0sum, ext.mod_down(accB, count=spec))
+    out1 = ext.mod_down(accA, count=spec)
+    return np.asarray(out0), np.asarray(out1)
+
+
+def _linear_sum_inputs(rq, ext, ks, dnum, batch, seed):
+    rng = np.random.default_rng(seed)
+    shape = (batch, rq.n) if batch else (rq.n,)
+    c0 = np.stack(
+        [rng.integers(0, q, size=shape, dtype=np.uint32) for q in rq.qs]
+    )
+    c1 = np.stack(
+        [rng.integers(0, q, size=shape, dtype=np.uint32) for q in rq.qs]
+    )
+    pts = np.stack(
+        [np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                   for q in ext.qs])
+         for _ in ks]
+    )
+    mk = lambda: np.stack([
+        np.stack([
+            np.stack([rng.integers(0, q, size=rq.n, dtype=np.uint32)
+                      for q in ext.qs])
+            for _ in range(dnum)
+        ])
+        for _ in ks
+    ])
+    return c0, c1, pts, mk(), mk()
+
+
+def test_hoisted_linear_sum_matches_public_composition(ext_pair):
+    rq, ext = ext_pair
+    dnum, batch = 2, 2
+    ks = (3, 9, 2 * rq.n - 1)
+    c0, c1, pts, kb, ka = _linear_sum_inputs(rq, ext, ks, dnum, batch, 61)
+    o0, o1 = rq.hoisted_linear_sum(c0, c1, pts, kb, ka, ks, ext, dnum)
+    assert o0.shape == c0.shape and o1.shape == c1.shape
+    w0, w1 = _linear_sum_spec(rq, ext, c0, c1, pts, kb, ka, ks, dnum)
+    np.testing.assert_array_equal(np.asarray(o1), w1)
+    np.testing.assert_array_equal(np.asarray(o0), w0)
+
+
+def test_hoisted_linear_sum_batchless_and_single_step(ext_pair):
+    rq, ext = ext_pair
+    dnum = rq.L
+    ks = (5,)
+    c0, c1, pts, kb, ka = _linear_sum_inputs(rq, ext, ks, dnum, 0, 67)
+    o0, o1 = rq.hoisted_linear_sum(c0, c1, pts, kb, ka, ks, ext, dnum)
+    assert o0.shape == (rq.L, rq.n)
+    w0, w1 = _linear_sum_spec(rq, ext, c0, c1, pts, kb, ka, ks, dnum)
+    np.testing.assert_array_equal(np.asarray(o0), w0)
+    np.testing.assert_array_equal(np.asarray(o1), w1)
+
+
+def test_hoisted_linear_sum_pre_transformed_material(ext_pair):
+    """ksk_domain='ntt' + pt_domain='ntt' (the serving configuration) is
+    bit-identical to the coeff-domain path."""
+    rq, ext = ext_pair
+    dnum, batch = 2, 3
+    ks = (3, 7)
+    c0, c1, pts, kb, ka = _linear_sum_inputs(rq, ext, ks, dnum, batch, 71)
+    w0, w1 = rq.hoisted_linear_sum(c0, c1, pts, kb, ka, ks, ext, dnum)
+    kbn = rq.ksk_to_ntt(kb, ext, ch_axis=2)
+    kan = rq.ksk_to_ntt(ka, ext, ch_axis=2)
+    ptn = rq.ksk_to_ntt(pts, ext, ch_axis=1)
+    g0, g1 = rq.hoisted_linear_sum(
+        c0, c1, ptn, kbn, kan, ks, ext, dnum,
+        ksk_domain="ntt", pt_domain="ntt",
+    )
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(w0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(w1))
+
+
+def test_hoisted_linear_sum_validates(ext_pair):
+    rq, ext = ext_pair
+    c0 = np.zeros((rq.L, rq.n), dtype=np.uint32)
+    pts = np.zeros((1, ext.L, rq.n), dtype=np.uint32)
+    kk = np.zeros((1, 2, ext.L, rq.n), dtype=np.uint32)
+    with pytest.raises(ValueError, match="odd"):
+        rq.hoisted_linear_sum(c0, c0, pts, kk, kk, (4,), ext, 2)
+    with pytest.raises(ValueError, match="ksks_a"):
+        rq.hoisted_linear_sum(c0, c0, pts, kk, kk[:, :1], (3,), ext, 2)
+    with pytest.raises(ValueError, match="pts"):
+        rq.hoisted_linear_sum(c0, c0, pts[:, :2], kk, kk, (3,), ext, 2)
+    with pytest.raises(ValueError, match="pt_domain"):
+        rq.hoisted_linear_sum(
+            c0, c0, pts, kk, kk, (3,), ext, 2, pt_domain="eval"
+        )
+
+
+def test_sharded_hoisted_linear_sum_matches_single_chip(ext_pair):
+    from agilex_ntt_tpu.parallel import ShardedRNSRing, make_mesh
+
+    rq, ext = ext_pair
+    dnum, batch = 2, 4
+    ks = (3, 7)
+    c0, c1, pts, kb, ka = _linear_sum_inputs(rq, ext, ks, dnum, batch, 73)
+    w0, w1 = rq.hoisted_linear_sum(c0, c1, pts, kb, ka, ks, ext, dnum)
+
+    mesh = make_mesh(dp=2)
+    srq = ShardedRNSRing(rq, mesh, dp_axis="dp")
+    g0, g1 = srq.hoisted_linear_sum(
+        srq.shard(jnp.asarray(c0)), srq.shard(jnp.asarray(c1)),
+        pts, kb, ka, ks, ext, dnum,
+    )
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(w0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(w1))
