@@ -172,35 +172,86 @@ def main():
     # rotation: tau_k(ct) encrypts tau_k(m) under tau_k(s); a rotation key
     # (the same gadget construction, encrypting P * g_d * tau_k(s)) switches
     # it back under s — automorphism + keyswitch compose
+    def tau_host(v, k):
+        """tau_k on host ints (signed permutation); v object or int64."""
+        idx = (np.arange(N) * k) % (2 * N)
+        out = np.zeros(N, dtype=object)
+        for i in range(N):
+            j, wrap = idx[i] % N, idx[i] >= N
+            out[j] += -v[i] if wrap else v[i]
+        return out
+
+    def rot_keys(k):
+        """Rotation key pair for tau_k: encrypts P * g_d * tau_k(s)."""
+        sk_tau = tau_host(s, k)
+        rb, ra = [], []
+        for d in range(DNUM):
+            qd = rq.qs[d]
+            qhat = Q // qd
+            g_d = qhat * pow(qhat % qd, -1, qd)
+            a_d = uniform_big()
+            e_d = small(2)
+            b_d = -negmul(a_d, s) + e_d + P * g_d * sk_tau
+            rb.append(np.stack([(b_d % p).astype(np.uint32) for p in rqp.qs]))
+            ra.append(np.stack([(a_d % p).astype(np.uint32) for p in rqp.qs]))
+        return np.stack(rb), np.stack(ra)
+
     k = 5
     tau = lambda v: np.asarray(rq.automorphism(np.asarray(v), k))
-    # tau_k on host big-ints for key material / oracle
-    idx = (np.arange(N) * k) % (2 * N)
-    sk_tau = np.zeros(N, dtype=object)
-    for i in range(N):
-        j, wrap = idx[i] % N, idx[i] >= N
-        sk_tau[j] += -s[i] if wrap else s[i]
-    rot_b, rot_a = [], []
-    for d in range(DNUM):
-        qd = rq.qs[d]
-        qhat = Q // qd
-        g_d = qhat * pow(qhat % qd, -1, qd)
-        a_d = uniform_big()
-        e_d = small(2)
-        b_d = -negmul(a_d, s) + e_d + P * g_d * sk_tau
-        rot_b.append(np.stack([(b_d % p).astype(np.uint32) for p in rqp.qs]))
-        rot_a.append(np.stack([(a_d % p).astype(np.uint32) for p in rqp.qs]))
+    rot_b, rot_a = rot_keys(k)
     r0 = np.asarray(rq.add(tau(ct1[0]),
-                           rq.keyswitch(tau(ct1[1]), np.stack(rot_b), rqp,
-                                        DNUM)))
-    r1 = np.asarray(rq.keyswitch(tau(ct1[1]), np.stack(rot_a), rqp, DNUM))
-    m1_tau = np.zeros(N, dtype=np.int64)
-    for i in range(N):
-        j, wrap = idx[i] % N, idx[i] >= N
-        m1_tau[j] = (m1_tau[j] + (-int(m1[i]) if wrap else int(m1[i]))) % T
+                           rq.keyswitch(tau(ct1[1]), rot_b, rqp, DNUM)))
+    r1 = np.asarray(rq.keyswitch(tau(ct1[1]), rot_a, rqp, DNUM))
+    m1_tau = (tau_host(m1.astype(object), k) % T).astype(np.int64)
     got_rot = decrypt(s, [r0, r1], DELTA)
     assert (got_rot == m1_tau % T).all(), "post-rotation decrypt mismatch"
     print(f"rotate (automorphism tau_{k} + keyswitch): exact")
+
+    # hoisted rotation batch: ONE decomposition of c1 + eval-domain keys
+    # (transformed once via ksk_to_ntt) serve several steps at once — the
+    # Halevi-Shoup BSGS pattern.  The hoisted digits differ from
+    # decompose(tau_k(c1)) but satisfy tau_k of the reconstruction
+    # identity, so every step still decrypts exactly.
+    steps = (3, 9, 2 * N - 1)
+    keys = [rot_keys(k) for k in steps]
+    kb_ntt = rq.ksk_to_ntt(np.stack([b for b, _ in keys]), rqp, ch_axis=2)
+    ka_ntt = rq.ksk_to_ntt(np.stack([a for _, a in keys]), rqp, ch_axis=2)
+    hb = rq.hoisted_keyswitch(ct1[1], kb_ntt, steps, rqp, DNUM,
+                              ksk_domain="ntt")
+    ha = rq.hoisted_keyswitch(ct1[1], ka_ntt, steps, rqp, DNUM,
+                              ksk_domain="ntt")
+    for j, kk in enumerate(steps):
+        h0 = np.asarray(rq.add(
+            np.asarray(rq.automorphism(np.asarray(ct1[0]), kk)), hb[j]
+        ))
+        h1 = np.asarray(ha[j])
+        want = (tau_host(m1.astype(object), kk) % T).astype(np.int64)
+        got_h = decrypt(s, [h0, h1], DELTA)
+        assert (got_h == want).all(), f"hoisted rotation tau_{kk} mismatch"
+    print(f"hoisted rotations ({len(steps)} steps, one decomposition, "
+          f"eval-domain keys): all exact")
+
+    # BSGS linear transform: sum_j pt_j (*) tau_{k_j}(ct) in ONE fused call
+    # (hoisted_linear_sum) — the homomorphic matrix-vector inner loop.  All
+    # key/plaintext material pre-transformed once; products accumulate in
+    # the extended basis with a single deferred ModDown per part.
+    wts = [rng.integers(-2, 3, size=N).astype(object) for _ in steps]
+    pts = np.stack([
+        np.stack([(w % p).astype(np.uint32) for p in rqp.qs]) for w in wts
+    ])  # (nk, K, N)
+    ptn = rq.ksk_to_ntt(pts, rqp, ch_axis=1)
+    o0, o1 = rq.hoisted_linear_sum(
+        ct1[0], ct1[1], ptn, kb_ntt, ka_ntt, steps, rqp, DNUM,
+        ksk_domain="ntt", pt_domain="ntt",
+    )
+    want_lin = np.zeros(N, dtype=object)
+    for w, kk in zip(wts, steps):
+        want_lin = want_lin + negmul(w, tau_host(m1.astype(object), kk))
+    got_lin = decrypt(s, [np.asarray(o0), np.asarray(o1)], DELTA)
+    assert (got_lin == (want_lin % T).astype(np.int64)).all(), \
+        "linear-transform decrypt mismatch"
+    print(f"BSGS linear transform (hoisted_linear_sum, {len(steps)} terms, "
+          f"one ModDown): exact")
     print("ckks_rns_toy: full leveled pipeline verified")
 
 
