@@ -37,7 +37,7 @@ from .params import (
     make_params,
     primitive_root,
 )
-from .ops import fourstep, ntt_kernel, xla_ntt
+from .ops import flat_fuse, fourstep, ntt_kernel, xla_ntt
 from .ops.modmul import U32, cond_sub, mont_mul_lazy, mont_qinv_neg, u32
 from .ops.ntt_kernel import MIN_KERNEL_N
 
@@ -80,6 +80,7 @@ class Ring:
         backend: Optional[str] = None,
         method: Optional[str] = None,
         block_rows: Optional[int] = None,
+        fourstep_kernel: Optional[str] = None,
         interpret: bool = False,
     ):
         if q is None:
@@ -120,6 +121,28 @@ class Ring:
         if backend not in ("pallas", "xla"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+        # four-step kernel layout: "tiled" (default; rank-3 passes, pays the
+        # flat-boundary relayout) or "flat" (ops/flat_fuse.py: both passes on
+        # the flat (B, n) block — no relayout; column strides scaled by n2).
+        # Selectable per ring so utils/autotune.py can pick by measurement.
+        if fourstep_kernel not in (None, "tiled", "flat"):
+            raise ValueError(
+                f"unknown fourstep_kernel {fourstep_kernel!r}; "
+                "expected 'tiled' or 'flat'"
+            )
+        if fourstep_kernel is not None and method != "fourstep":
+            raise ValueError("fourstep_kernel requires method='fourstep'")
+        if fourstep_kernel == "flat":
+            if backend != "pallas":
+                raise ValueError("fourstep_kernel='flat' is a Pallas path")
+            if n > flat_fuse.FLAT_FUSE_MAX_N:
+                raise ValueError(
+                    "fourstep_kernel='flat' supports "
+                    f"n <= {flat_fuse.FLAT_FUSE_MAX_N} (compile-time bound)"
+                )
+        self.fourstep_kernel = fourstep_kernel or (
+            "tiled" if method == "fourstep" else None
+        )
         # Montgomery constants for pointwise products (R = 2**32)
         self.qinv_neg = mont_qinv_neg(q)
         self.r_mod_q = (1 << 32) % q
@@ -168,7 +191,14 @@ class Ring:
     def ntt(self, x) -> jnp.ndarray:
         """Forward negacyclic NTT, (..., n) -> (..., n), output in [0, q)."""
         flat, lead, b = self._flatten(_as_u32(x))
-        if self.method == "fourstep":
+        if self.method == "fourstep" and self.fourstep_kernel == "flat":
+            y = flat_fuse.fwd_ntt_fourstep_flat(
+                flat,
+                self.plan,
+                block_rows=self.block_rows,
+                interpret=self.interpret,
+            )
+        elif self.method == "fourstep":
             y = fourstep.fwd_ntt_fourstep(
                 flat,
                 self.plan,
@@ -190,7 +220,15 @@ class Ring:
     def intt(self, x, *, scale: Optional[int] = None) -> jnp.ndarray:
         """Inverse negacyclic NTT, (..., n) -> (..., n), output in [0, q)."""
         flat, lead, b = self._flatten(_as_u32(x))
-        if self.method == "fourstep":
+        if self.method == "fourstep" and self.fourstep_kernel == "flat":
+            y = flat_fuse.inv_ntt_fourstep_flat(
+                flat,
+                self.plan,
+                scale=scale,
+                block_rows=self.block_rows,
+                interpret=self.interpret,
+            )
+        elif self.method == "fourstep":
             y = fourstep.inv_ntt_fourstep(
                 flat,
                 self.plan,
@@ -364,6 +402,23 @@ class Ring:
                 return f
 
             return self._jitted("polymul_fused", build)(_as_u32(a), _as_u32(b))
+        if self.method == "fourstep" and self.fourstep_kernel == "flat":
+
+            def build():
+                def f(x, y):
+                    x, y = jnp.broadcast_arrays(x, y)
+                    xf, lead, bb = self._flatten(x)
+                    yf, _, _ = self._flatten(y)
+                    out = flat_fuse.polymul_fourstep_flat(
+                        xf, yf, self.plan,
+                        scale=self.polymul_scale, qinv_neg=self.qinv_neg,
+                        block_rows=self.block_rows, interpret=self.interpret,
+                    )
+                    return self._unflatten(out, lead, bb)
+
+                return f
+
+            return self._jitted("polymul_flat4", build)(_as_u32(a), _as_u32(b))
         if (
             self.method == "fourstep"
             and self.backend == "pallas"
@@ -653,9 +708,13 @@ class Ring:
         )
 
     def __repr__(self):
+        fk = (
+            f", fourstep_kernel={self.fourstep_kernel!r}"
+            if self.fourstep_kernel == "flat" else ""
+        )
         return (
             f"Ring(n={self.n}, q={self.q}, backend={self.backend!r},"
-            f" method={self.method!r}, interpret={self.interpret})"
+            f" method={self.method!r}{fk}, interpret={self.interpret})"
         )
 
 

@@ -1,0 +1,257 @@
+"""Measured kernel-config selection with a persisted per-device cache.
+
+``Ring`` ships static dispatch defaults (``MAX_RADIX2_N``, the n < 128 XLA
+fallback, the tiled four-step layout) that encode v5e measurements from
+BASELINE.md.  Those are the right defaults for the measured chip, but they
+are *asserted* for any other device generation — and some choices are
+genuinely shape-dependent (flat vs tiled four-step kernels trade a relayout
+against wider stage tables; the best ``block_rows`` depends on batch).
+
+This module replaces the assertions with measurements: ``tune()`` times
+every valid candidate config for an (op, n, batch) workload on the *current*
+device and persists the winner in a JSON cache keyed by device kind, so the
+timing pass runs once per device generation, not once per process.
+``tuned_ring()`` is the one-call form.
+
+Reference analog: the FPGA flow specializes per (FPGA_NTT_SIZE, modulus) at
+synthesis time (``/root/reference/include/kernel/ntt.h:11-23``, one
+bitstream per config); here specialization is a runtime timing pass whose
+result persists per device kind — the JIT-era equivalent of keeping the
+best bitstream per board.
+
+Typical use::
+
+    from agilex_ntt_tpu.utils import autotune
+    ring = autotune.tuned_ring(65536, batch=512, op="ntt")
+    # first call on a new device kind: times ~4 candidates, caches winner
+    # every later call: cache hit, no timing
+
+CLI (one line of JSON per workload, used by the hw measurement queue)::
+
+    python -m agilex_ntt_tpu.utils.autotune 65536 512 --op ntt
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..api import MAX_RADIX2_N, Ring
+from ..ops.flat_fuse import FLAT_FUSE_MAX_N
+from ..ops.ntt_kernel import MIN_KERNEL_N
+from .profiling import device_time
+
+#: Ring kwargs that a candidate/cached config may carry.  Anything else in
+#: a cache entry is ignored (forward compatibility across versions).
+_CONFIG_KEYS = ("method", "backend", "block_rows", "fourstep_kernel")
+
+_OPS = ("ntt", "intt", "polymul")
+
+
+def default_cache_path() -> str:
+    env = os.environ.get("NTT_TPU_AUTOTUNE_CACHE")
+    if env:
+        return env
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "agilex_ntt_tpu", "autotune.json"
+    )
+
+
+def device_key() -> str:
+    """Cache namespace: the accelerator generation (configs tuned on one
+    v5e chip transfer to every v5e chip, not to a v4 or a CPU)."""
+    try:
+        d = jax.devices()[0]
+    except RuntimeError:
+        return "cpu"
+    return getattr(d, "device_kind", d.platform) or d.platform
+
+
+def candidate_configs(n: int, *, on_tpu: Optional[bool] = None) -> List[Dict]:
+    """Every valid Ring config for size n, cheapest-to-compile first.
+
+    The space mirrors api.py's constraints: radix-2 exists for
+    n <= MAX_RADIX2_N (Pallas form needs n >= MIN_KERNEL_N), four-step for
+    any composite split (worth timing once n reaches 2^14, where both
+    factors hit the 128-lane kernel floor), and the flat four-step layout
+    for n <= FLAT_FUSE_MAX_N.  On non-TPU platforms Pallas runs only in
+    interpret mode (not a performance path), so candidates collapse to XLA.
+    """
+    if on_tpu is None:
+        on_tpu = device_key() not in ("cpu", "gpu")
+    out: List[Dict] = []
+    if n <= MAX_RADIX2_N:
+        out.append({"method": "radix2", "backend": "xla"})
+        if on_tpu and n >= MIN_KERNEL_N:
+            out.append({"method": "radix2", "backend": "pallas"})
+    if n >= (1 << 14) and on_tpu:
+        out.append({"method": "fourstep", "backend": "pallas",
+                    "fourstep_kernel": "tiled"})
+        if n <= FLAT_FUSE_MAX_N:
+            out.append({"method": "fourstep", "backend": "pallas",
+                        "fourstep_kernel": "flat"})
+    if n >= (1 << 14) and not on_tpu:
+        out.append({"method": "fourstep", "backend": "xla"})
+    return out
+
+
+def _op_timer(ring: Ring, op: str) -> Callable:
+    """y = f(y) self-chaining form for the delta-method timer (each call's
+    input depends on the previous output, so calls cannot overlap)."""
+    if op == "ntt":
+        return lambda v: ring.ntt(v)
+    if op == "intt":
+        return lambda v: ring.intt(v)
+    if op == "polymul":
+        return lambda v: ring.polymul(v, v)
+    raise ValueError(f"unknown op {op!r}; expected one of {_OPS}")
+
+
+def _load_cache(path: str) -> Dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_cache(path: str, cache: Dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # atomic replace: concurrent tuners must not interleave partial JSON
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _cache_key(op: str, n: int, batch: int, q: int) -> str:
+    return f"{op}|n={n}|b={batch}|qbits={q.bit_length()}"
+
+
+def tune(
+    n: int,
+    batch: int,
+    op: str = "ntt",
+    *,
+    q: Optional[int] = None,
+    iters: int = 8,
+    timer: Optional[Callable] = None,
+    cache_path: Optional[str] = None,
+    use_cache: bool = True,
+    refresh: bool = False,
+) -> Dict:
+    """Pick the fastest Ring config for (op, n, batch) on this device.
+
+    Times every ``candidate_configs(n)`` entry with the delta-method device
+    timer (min-of-trials; see utils/profiling.py for why the naive form
+    overstates throughput through the tunnel) and returns::
+
+        {"config": {...Ring kwargs...}, "seconds": t, "tuned": bool,
+         "candidates": [{"config": ..., "seconds": ...}, ...]}
+
+    The winner is persisted under (device kind, op, n, batch, q-bits); a
+    cache hit skips timing entirely (``tuned=False``, empty candidates).
+    A candidate that fails to build or run (e.g. a compile-time bound on a
+    new device) is recorded with ``seconds=None`` and skipped — tuning
+    degrades to the surviving space instead of raising.
+
+    ``timer(fn, x, iters)`` is injectable for tests; the default is
+    ``profiling.device_time``.
+    """
+    if op not in _OPS:
+        raise ValueError(f"unknown op {op!r}; expected one of {_OPS}")
+    ring0 = Ring(n, q)  # resolves the default prime once for the cache key
+    qv = ring0.q
+    path = cache_path or default_cache_path()
+    dev = device_key()
+    key = _cache_key(op, n, batch, qv)
+    if use_cache and not refresh:
+        hit = _load_cache(path).get(dev, {}).get(key)
+        if hit is not None:
+            cfg = {k: hit["config"][k] for k in _CONFIG_KEYS
+                   if k in hit["config"]}
+            return {"config": cfg, "seconds": hit.get("seconds"),
+                    "tuned": False, "candidates": []}
+
+    time_fn = timer or (
+        lambda fn, x, it: min(device_time(fn, x, iters=it) for _ in range(3))
+    )
+    rng_x = jax.random.randint(
+        jax.random.PRNGKey(0), (batch, n), 0, qv, dtype=jnp.uint32
+    )
+    results = []
+    for cfg in candidate_configs(n):
+        try:
+            ring = Ring(n, qv, **cfg)
+            t = float(time_fn(_op_timer(ring, op), rng_x, iters))
+        except Exception as e:  # candidate invalid on this device: skip
+            results.append({"config": cfg, "seconds": None, "error": str(e)})
+            continue
+        results.append({"config": cfg, "seconds": t})
+    alive = [r for r in results if r["seconds"] is not None]
+    if not alive:
+        raise RuntimeError(
+            f"no candidate config survived for op={op} n={n} batch={batch}: "
+            + "; ".join(str(r.get("error")) for r in results)
+        )
+    best = min(alive, key=lambda r: r["seconds"])
+    if use_cache:
+        cache = _load_cache(path)
+        cache.setdefault(dev, {})[key] = {
+            "config": best["config"], "seconds": best["seconds"],
+        }
+        _store_cache(path, cache)
+    return {"config": dict(best["config"]), "seconds": best["seconds"],
+            "tuned": True, "candidates": results}
+
+
+def tuned_ring(
+    n: int,
+    batch: int,
+    op: str = "ntt",
+    *,
+    q: Optional[int] = None,
+    cache_path: Optional[str] = None,
+    **tune_kwargs,
+) -> Ring:
+    """A Ring built from the measured-best config for (op, n, batch)."""
+    picked = tune(n, batch, op, q=q, cache_path=cache_path, **tune_kwargs)
+    return Ring(n, q, **picked["config"])
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="time candidate kernel configs, print + cache winners"
+    )
+    ap.add_argument("n", type=int)
+    ap.add_argument("batch", type=int)
+    ap.add_argument("--op", default="all", choices=("all",) + _OPS)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--refresh", action="store_true",
+                    help="re-time even on a cache hit")
+    args = ap.parse_args(argv)
+    for op in _OPS if args.op == "all" else (args.op,):
+        r = tune(args.n, args.batch, op, iters=args.iters,
+                 refresh=args.refresh)
+        print(json.dumps({
+            "device": device_key(), "op": op, "n": args.n,
+            "batch": args.batch, **r,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,32 @@ def decrypt(s, parts, scale, ring=None):
     )
 
 
+def tau_host(v, k):
+    """tau_k on host ints (signed permutation); v object or int64."""
+    idx = (np.arange(N) * k) % (2 * N)
+    out = np.zeros(N, dtype=object)
+    for i in range(N):
+        j, wrap = idx[i] % N, idx[i] >= N
+        out[j] += -v[i] if wrap else v[i]
+    return out
+
+
+def rot_keys(s, k):
+    """Rotation key pair for tau_k: encrypts P * g_d * tau_k(s)."""
+    sk_tau = tau_host(s, k)
+    rb, ra = [], []
+    for d in range(DNUM):
+        qd = rq.qs[d]
+        qhat = Q // qd
+        g_d = qhat * pow(qhat % qd, -1, qd)
+        a_d = uniform_big()
+        e_d = small(2)
+        b_d = -negmul(a_d, s) + e_d + P * g_d * sk_tau
+        rb.append(np.stack([(b_d % p).astype(np.uint32) for p in rqp.qs]))
+        ra.append(np.stack([(a_d % p).astype(np.uint32) for p in rqp.qs]))
+    return np.stack(rb), np.stack(ra)
+
+
 def main():
     s, ksk_b, ksk_a = keygen()
     m1 = rng.integers(0, T, size=N)
@@ -172,33 +198,9 @@ def main():
     # rotation: tau_k(ct) encrypts tau_k(m) under tau_k(s); a rotation key
     # (the same gadget construction, encrypting P * g_d * tau_k(s)) switches
     # it back under s — automorphism + keyswitch compose
-    def tau_host(v, k):
-        """tau_k on host ints (signed permutation); v object or int64."""
-        idx = (np.arange(N) * k) % (2 * N)
-        out = np.zeros(N, dtype=object)
-        for i in range(N):
-            j, wrap = idx[i] % N, idx[i] >= N
-            out[j] += -v[i] if wrap else v[i]
-        return out
-
-    def rot_keys(k):
-        """Rotation key pair for tau_k: encrypts P * g_d * tau_k(s)."""
-        sk_tau = tau_host(s, k)
-        rb, ra = [], []
-        for d in range(DNUM):
-            qd = rq.qs[d]
-            qhat = Q // qd
-            g_d = qhat * pow(qhat % qd, -1, qd)
-            a_d = uniform_big()
-            e_d = small(2)
-            b_d = -negmul(a_d, s) + e_d + P * g_d * sk_tau
-            rb.append(np.stack([(b_d % p).astype(np.uint32) for p in rqp.qs]))
-            ra.append(np.stack([(a_d % p).astype(np.uint32) for p in rqp.qs]))
-        return np.stack(rb), np.stack(ra)
-
     k = 5
     tau = lambda v: np.asarray(rq.automorphism(np.asarray(v), k))
-    rot_b, rot_a = rot_keys(k)
+    rot_b, rot_a = rot_keys(s, k)
     r0 = np.asarray(rq.add(tau(ct1[0]),
                            rq.keyswitch(tau(ct1[1]), rot_b, rqp, DNUM)))
     r1 = np.asarray(rq.keyswitch(tau(ct1[1]), rot_a, rqp, DNUM))
@@ -213,7 +215,7 @@ def main():
     # decompose(tau_k(c1)) but satisfy tau_k of the reconstruction
     # identity, so every step still decrypts exactly.
     steps = (3, 9, 2 * N - 1)
-    keys = [rot_keys(k) for k in steps]
+    keys = [rot_keys(s, k) for k in steps]
     kb_ntt = rq.ksk_to_ntt(np.stack([b for b, _ in keys]), rqp, ch_axis=2)
     ka_ntt = rq.ksk_to_ntt(np.stack([a for _, a in keys]), rqp, ch_axis=2)
     hb = rq.hoisted_keyswitch(ct1[1], kb_ntt, steps, rqp, DNUM,

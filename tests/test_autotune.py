@@ -1,0 +1,154 @@
+"""Autotuner: candidate spaces, argmin selection, cache round-trip, and the
+Ring-level flat four-step dispatch it selects between.
+
+The timing pass itself is hardware-dependent (exercised on the real chip by
+tools/hw_round3.sh); here the timer is injected so selection and persistence
+logic are pinned deterministically.  Reference analog for the capability:
+one synthesized config per (FPGA_NTT_SIZE, modulus)
+(``/root/reference/include/kernel/ntt.h:11-23``) — here measured + cached
+per device kind.
+"""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from agilex_ntt_tpu import Ring
+from agilex_ntt_tpu.utils import autotune
+
+
+def test_candidate_space_small_n_cpu():
+    cfgs = autotune.candidate_configs(4096, on_tpu=False)
+    assert {"method": "radix2", "backend": "xla"} in cfgs
+    assert all(c["backend"] == "xla" for c in cfgs)
+
+
+def test_candidate_space_tpu():
+    cfgs = autotune.candidate_configs(65536, on_tpu=True)
+    kinds = {(c["method"], c.get("fourstep_kernel")) for c in cfgs}
+    assert ("fourstep", "tiled") in kinds
+    assert ("fourstep", "flat") in kinds
+    # radix2 tops out at MAX_RADIX2_N
+    assert not any(c["method"] == "radix2" for c in cfgs)
+    small = autotune.candidate_configs(4096, on_tpu=True)
+    assert {"method": "radix2", "backend": "pallas"} in small
+    assert {"method": "radix2", "backend": "xla"} in small
+
+
+def test_flat_kernel_beyond_bound_excluded():
+    cfgs = autotune.candidate_configs(1 << 20, on_tpu=True)
+    assert not any(c.get("fourstep_kernel") == "flat" for c in cfgs)
+    assert any(c.get("fourstep_kernel") == "tiled" for c in cfgs)
+
+
+def _fake_timer(times_by_cfg):
+    """timer(fn, x, iters) keyed on the Ring the op closure captured."""
+
+    def timer(fn, x, iters):
+        ring = fn.__closure__[0].cell_contents
+        key = (ring.method, ring.backend, ring.fourstep_kernel)
+        t = times_by_cfg[key]
+        if t is None:
+            raise RuntimeError("injected candidate failure")
+        return t
+
+    return timer
+
+
+def test_tune_picks_argmin_and_caches(tmp_path):
+    path = str(tmp_path / "cache.json")
+    times = {
+        ("radix2", "xla", None): 3.0,
+        ("fourstep", "xla", "tiled"): 1.0,
+    }
+    r = autotune.tune(16384, 8, "ntt", timer=_fake_timer(times),
+                      cache_path=path)
+    assert r["tuned"] and r["config"]["method"] == "fourstep"
+    assert r["seconds"] == 1.0
+    # persisted under the device namespace with full candidate-free shape
+    with open(path) as f:
+        cache = json.load(f)
+    assert autotune.device_key() in cache
+    # second call: cache hit, no timing (a raising timer proves it)
+    def boom(*a):
+        raise AssertionError("timer ran on a cache hit")
+    r2 = autotune.tune(16384, 8, "ntt", timer=boom, cache_path=path)
+    assert not r2["tuned"] and r2["config"] == r["config"]
+    # refresh re-times
+    times[("radix2", "xla", None)] = 0.5
+    r3 = autotune.tune(16384, 8, "ntt", timer=_fake_timer(times),
+                       cache_path=path, refresh=True)
+    assert r3["tuned"] and r3["config"]["method"] == "radix2"
+
+
+def test_tune_skips_failing_candidate(tmp_path):
+    times = {
+        ("radix2", "xla", None): None,        # fails to run
+        ("fourstep", "xla", "tiled"): 2.0,
+    }
+    r = autotune.tune(16384, 8, "intt", timer=_fake_timer(times),
+                      cache_path=str(tmp_path / "c.json"))
+    assert r["config"]["method"] == "fourstep"
+    failed = [c for c in r["candidates"] if c["seconds"] is None]
+    assert len(failed) == 1 and "error" in failed[0]
+
+
+def test_tune_all_candidates_fail(tmp_path):
+    times = {
+        ("radix2", "xla", None): None,
+        ("fourstep", "xla", "tiled"): None,
+    }
+    with pytest.raises(RuntimeError, match="no candidate"):
+        autotune.tune(16384, 8, "ntt", timer=_fake_timer(times),
+                      cache_path=str(tmp_path / "c.json"))
+
+
+def test_tuned_ring_computes_correctly(tmp_path, rng):
+    times = {
+        ("radix2", "xla", None): 1.0,
+        ("fourstep", "xla", "tiled"): 9.0,
+    }
+    ring = autotune.tuned_ring(16384, 4, "ntt", timer=_fake_timer(times),
+                               cache_path=str(tmp_path / "c.json"))
+    assert ring.method == "radix2"
+    x = rng.integers(0, ring.q, size=(4, 16384), dtype=np.uint32)
+    want = Ring(16384, ring.q, backend="xla", method="fourstep").ntt(x)
+    assert (np.asarray(ring.ntt(jnp.asarray(x)))
+            == np.asarray(want)).all()
+
+
+# -- Ring fourstep_kernel="flat" dispatch -----------------------------------
+
+
+def test_flat_option_validation():
+    with pytest.raises(ValueError, match="method='fourstep'"):
+        Ring(4096, method="radix2", fourstep_kernel="flat")
+    with pytest.raises(ValueError, match="Pallas"):
+        Ring(16384, method="fourstep", backend="xla",
+             fourstep_kernel="flat")
+    with pytest.raises(ValueError, match="n <="):
+        Ring(1 << 20, method="fourstep", backend="pallas",
+             fourstep_kernel="flat")
+    with pytest.raises(ValueError, match="unknown fourstep_kernel"):
+        Ring(16384, method="fourstep", fourstep_kernel="bogus")
+    assert "flat" in repr(
+        Ring(16384, method="fourstep", backend="pallas",
+             fourstep_kernel="flat", interpret=True)
+    )
+
+
+def test_ring_flat_bit_exact(rng):
+    n = 1024
+    flat = Ring(n, method="fourstep", backend="pallas",
+                fourstep_kernel="flat", interpret=True)
+    ref = Ring(n, flat.q, method="fourstep", backend="xla")
+    x = rng.integers(0, flat.q, size=(3, n), dtype=np.uint32)
+    y = rng.integers(0, flat.q, size=(3, n), dtype=np.uint32)
+    fx = np.asarray(flat.ntt(jnp.asarray(x)))
+    assert (fx == np.asarray(ref.ntt(x))).all()
+    assert (np.asarray(flat.intt(jnp.asarray(fx)))
+            == np.asarray(ref.intt(fx))).all()
+    assert (np.asarray(flat.polymul(jnp.asarray(x), jnp.asarray(y)))
+            == np.asarray(ref.polymul(x, y))).all()

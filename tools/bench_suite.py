@@ -142,6 +142,44 @@ def main():
     line(f"hoisted+nttkeys rotations/s (nk={nk}, dnum={dnum}, n={ks_n}, "
          f"batch={hk_b})", round(nk * hk_b / t, 1), "rotation/s", None)
 
+    # fused BSGS linear transform vs its per-step composition: nk-term
+    # sum_j pt_j (*) tau_kj(ct) with one decomposition + one deferred
+    # ModDown (hoisted_linear_sum) against nk (keyswitch + polymul) calls
+    pt = jnp.asarray(np.stack(
+        [np.stack([rngk.integers(0, q, size=ks_n, dtype=np.uint32)
+                   for q in ks_qs]) for _ in range(nk)]
+    ))
+    ptn = rq.ksk_to_ntt(pt, rqp, ch_axis=1)
+    c0h, c1h = xh[:, : hk_b // 2], xh[:, hk_b // 2:][:, : hk_b // 2]
+    lb = c0h.shape[1]
+    t = best(
+        lambda v: rq.hoisted_linear_sum(
+            v, c1h, ptn, ksks_ntt, ksks_ntt, hks, rqp, dnum,
+            ksk_domain="ntt", pt_domain="ntt",
+        )[0].astype(jnp.uint32),
+        c0h, max(4, iters // 4),
+    )
+    line(f"linear-transform terms/s fused (nk={nk}, dnum={dnum}, n={ks_n}, "
+         f"batch={lb})", round(nk * lb / t, 1), "term/s", None)
+
+    def _composed(v):
+        acc0 = acc1 = None
+        for j, kk in enumerate(hks):
+            t1 = rq.automorphism(c1h, kk)
+            h0 = rq.add(rq.automorphism(v, kk),
+                        rq.keyswitch(t1, ksks_ntt[j], rqp, dnum,
+                                     ksk_domain="ntt"))
+            h1 = rq.keyswitch(t1, ksks_ntt[j], rqp, dnum, ksk_domain="ntt")
+            pl = jnp.broadcast_to(pt[j][:rq.L][:, None], h0.shape)
+            t0 = rq.polymul(pl, h0)
+            t1m = rq.polymul(pl, h1)
+            acc0 = t0 if acc0 is None else rq.add(acc0, t0)
+            acc1 = t1m if acc1 is None else rq.add(acc1, t1m)
+        return acc0
+    t = best(_composed, c0h, max(2, iters // 8))
+    line(f"linear-transform terms/s composed (nk={nk}, dnum={dnum}, "
+         f"n={ks_n}, batch={lb})", round(nk * lb / t, 1), "term/s", None)
+
     # RNS: 3-prime channel throughput
     rb = 2048 if on_tpu else 16
     rns = RNSRing(4096, num_primes=3)

@@ -17,6 +17,8 @@ TMO=1200                 run roofline python tools/roofline.py
 TMO=3600                 run ab_mxu   python tools/ab_mxu.py
 TMO=1800                 run ab_inv   python tools/ab_inv.py
 TMO=3600                 run ab_flat  python tools/ab_flat.py
+TMO=3600                 run tune64k  python -m agilex_ntt_tpu.utils.autotune 65536 512 --op all
+TMO=1800                 run tune4k   python -m agilex_ntt_tpu.utils.autotune 4096 8192 --op all
 TMO=3600                 run suite    python tools/bench_suite.py
 TMO=3600                 run sweep    python tools/sweep.py
 TMO=900                  run bench    python bench.py
