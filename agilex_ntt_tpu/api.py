@@ -1034,6 +1034,9 @@ class RNSRing:
     def sub(self, a, b) -> jnp.ndarray:
         return self._map("sub", jnp.asarray(a), jnp.asarray(b))
 
+    def neg(self, a) -> jnp.ndarray:
+        return self._map("neg", jnp.asarray(a))
+
     def polydot(self, a, b) -> jnp.ndarray:
         """Per-channel fused inner product: shapes (L, ..., k, n)."""
         a, b = _as_u32(a), _as_u32(b)

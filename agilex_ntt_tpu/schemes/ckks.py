@@ -1,0 +1,626 @@
+"""RNS-CKKS evaluator: approximate-arithmetic FHE on the TPU ring stack.
+
+The reference implements the forward NTT of an FHE accelerator
+(`/root/reference/src/kernel/ntt.cpp`; HEXL-FPGA's host library drives it
+from exactly this kind of evaluator).  This module is the scheme layer that
+transform exists to serve: a full leveled RNS-CKKS context — canonical-
+embedding encoder, key generation, public/secret-key encryption, and the
+evaluator ops (add, multiply + relinearize, rescale, rotate, conjugate,
+plaintext ops, fused BSGS linear transforms) — with every polynomial
+operation dispatched through :class:`~agilex_ntt_tpu.api.RNSRing`'s cached
+jitted kernels (single fused multi-prime Pallas NTTs on TPU).
+
+Design notes (TPU-first, not a port):
+
+- Every hot op is a cached-jit ``RNSRing`` call over all active prime
+  channels at once; ciphertexts may carry arbitrary batch dims
+  ``(L, ..., n)`` and the whole scheme vectorizes over them.
+- Key material is generated once in the top basis ``Q·P`` and stored in the
+  evaluation domain (``ksk_to_ntt``).  At level ``l`` the same arrays are
+  reused by slicing digit rows ``:l`` and channels ``(0..l-1, K-1)``: the
+  CRT idempotents satisfy ``g_d ≡ g_d^(l) (mod Q_l)`` (both are 1 mod q_d
+  and 0 mod the other active primes) and the gadget identity only needs to
+  hold mod ``Q_l`` — the P·g_d·s' term is 0 mod P either way — so one key
+  set serves every level.
+- Relinearization and rotation each need the SAME decomposition switched
+  against two key halves; both go through ``hoisted_keyswitch`` with
+  ``ks=(g, g)`` so the gadget decomposition + digit transform run once.
+- Uniform sampling is per-channel (independent uniform residues mod each
+  q_i ARE uniform mod Q by CRT) — no big-int sampling anywhere; keygen's
+  only host arithmetic is the CRT idempotents.
+
+THIS IS A RESEARCH-GRADE SCHEME IMPLEMENTATION: parameter selection,
+constant-time guarantees, and formal noise tracking are out of scope; the
+tests pin functional correctness (exact decrypt identities where exact,
+approximation error well under 1/scale elsewhere).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from fractions import Fraction
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import RNSRing
+from ..params import find_primes
+
+__all__ = [
+    "CKKSContext",
+    "Ciphertext",
+    "KeySet",
+    "LinearOp",
+    "Plaintext",
+    "encode_coeffs",
+    "decode_coeffs",
+]
+
+
+# ---------------------------------------------------------------------------
+# canonical-embedding encoder (host-side numpy FFT, O(n log n))
+# ---------------------------------------------------------------------------
+
+
+def _rot_group(n: int) -> np.ndarray:
+    """Slot evaluation order: 5^j mod 2n, j = 0..n/2-1.
+
+    The points {5^j} enumerate one representative per conjugate pair of the
+    primitive 2n-th roots; successive powers of 5 make tau_5 a cyclic slot
+    shift (the CKKS rotation convention).
+    """
+    out = np.empty(n // 2, dtype=np.int64)
+    r = 1
+    for j in range(n // 2):
+        out[j] = r
+        r = (r * 5) % (2 * n)
+    return out
+
+
+def encode_coeffs(z, n: int, scale) -> np.ndarray:
+    """Complex slots (..., n/2) -> signed integer coefficients (..., n).
+
+    Inverse canonical embedding: fill a conjugate-symmetric length-2n
+    spectrum (slot j at index 5^j mod 2n, its conjugate at the negated
+    index), inverse-FFT, and round the scaled real part.  The spectrum is
+    supported on odd frequencies only, so the length-2n time signal is the
+    negacyclic extension (m, -m) and the first half is the coefficient
+    vector of an element of Z[X]/(X^n + 1).
+    """
+    z = np.asarray(z, dtype=np.complex128)
+    if z.shape[-1] != n // 2:
+        raise ValueError(f"expected {n // 2} slots, got {z.shape[-1]}")
+    m2 = 2 * n
+    rg = _rot_group(n)
+    spec = np.zeros(z.shape[:-1] + (m2,), dtype=np.complex128)
+    spec[..., rg] = 2.0 * z
+    spec[..., m2 - rg] = 2.0 * np.conj(z)
+    m = np.real(np.fft.ifft(spec, axis=-1))[..., :n]
+    return np.rint(m * float(scale)).astype(np.int64)
+
+
+def decode_coeffs(m, n: int, scale) -> np.ndarray:
+    """Signed coefficients (..., n) -> complex slots (..., n/2).
+
+    Forward canonical embedding: evaluate at the primitive 2n-th roots in
+    5^j order (odd lines of a length-2n FFT), divide by the scale.
+    """
+    m = np.asarray(m, dtype=np.float64)
+    if m.shape[-1] != n:
+        raise ValueError(f"expected n={n} coefficients, got {m.shape[-1]}")
+    spec = np.fft.fft(m, n=2 * n, axis=-1)
+    return spec[..., _rot_group(n)] / float(scale)
+
+
+# ---------------------------------------------------------------------------
+# data types
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Plaintext:
+    """Encoded message: residues (level, ..., n) at a scale."""
+
+    rns: jnp.ndarray
+    level: int
+    scale: Fraction
+
+
+@dataclasses.dataclass
+class Ciphertext:
+    """Degree-1 RLWE ciphertext (c0, c1), each (level, ..., n)."""
+
+    c0: jnp.ndarray
+    c1: jnp.ndarray
+    level: int
+    scale: Fraction
+
+
+@dataclasses.dataclass
+class KeySet:
+    """Everything keygen produces.  ``sk`` is the secret — evaluator ops
+    only ever read ``rlk`` / ``gk`` (evaluation-domain public material)."""
+
+    sk: np.ndarray                 # ternary secret, host (n,) int64
+    sk_rns: jnp.ndarray            # its residues in the full ext basis (K, n)
+    pk: Tuple[jnp.ndarray, jnp.ndarray]        # (p0, p1), each (L, n)
+    rlk: Tuple[jnp.ndarray, jnp.ndarray]       # eval-domain (dnum, K, n) x2
+    gk: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]]  # galois elt -> pair
+
+
+@dataclasses.dataclass
+class LinearOp:
+    """Pre-baked BSGS linear transform: eval-domain weights + keys for one
+    level — the serving object (build once, apply per ciphertext)."""
+
+    gs: Tuple[int, ...]
+    pts_ntt: jnp.ndarray           # (nk, K_l, n), eval domain, ext basis
+    kb_ntt: jnp.ndarray            # (nk, dnum_l, K_l, n)
+    ka_ntt: jnp.ndarray
+    level: int
+    scale: Fraction
+
+
+class CKKSContext:
+    """Leveled RNS-CKKS over Z[X]/(X^n + 1) with an L-prime chain Q and one
+    special prime P (hybrid key switching, per-prime digits).
+
+    Parameters
+    ----------
+    n:           ring degree (power of two); n/2 complex slots.
+    num_primes:  L, the ciphertext chain length (levels L..1).
+    delta:       encoding scale (default 2^(bits-1)).
+    qs, p:       explicit chain / special prime (default: the largest
+                 NTT-friendly prime below 2^bits is P, the next L are Q —
+                 P >= q_i keeps the key-switch noise ~|e|).
+    rng:         numpy Generator for all sampling (keygen/encrypt).
+    error_std:   rounded-gaussian error width.
+    ring_kwargs: forwarded to every RNSRing/Ring (backend/method/...).
+    """
+
+    def __init__(
+        self,
+        n: int,
+        num_primes: int = 3,
+        *,
+        delta: Optional[int] = None,
+        qs: Optional[Sequence[int]] = None,
+        p: Optional[int] = None,
+        bits: int = 30,
+        rng: Optional[np.random.Generator] = None,
+        error_std: float = 3.2,
+        **ring_kwargs,
+    ):
+        if qs is None or p is None:
+            primes = find_primes(n, num_primes + 1, bits=bits)
+            if p is None:
+                p = primes[0]          # largest -> special prime
+            if qs is None:
+                qs = [q for q in primes if q != p][:num_primes]
+        self.n = int(n)
+        self.qs: Tuple[int, ...] = tuple(int(q) for q in qs)
+        self.p = int(p)
+        self.L = len(self.qs)
+        self.delta = int(delta) if delta is not None else 1 << (bits - 1)
+        self.error_std = float(error_std)
+        self.rng = rng if rng is not None else np.random.default_rng(0)
+        self._ring_kwargs = ring_kwargs
+        self._rings: Dict[int, RNSRing] = {}
+        self._ext: Dict[int, RNSRing] = {}
+        self._key_slices: Dict[Tuple[int, int, int], jnp.ndarray] = {}
+
+    # -- bases ------------------------------------------------------------
+
+    def ring(self, level: int) -> RNSRing:
+        """The base ring at ``level`` (primes qs[:level])."""
+        if not 1 <= level <= self.L:
+            raise ValueError(f"level must be in [1, {self.L}], got {level}")
+        r = self._rings.get(level)
+        if r is None:
+            r = RNSRing(self.n, qs=self.qs[:level], **self._ring_kwargs)
+            self._rings[level] = r
+        return r
+
+    def ext_ring(self, level: int) -> RNSRing:
+        """The extended ring at ``level`` (primes qs[:level] + (P,))."""
+        r = self._ext.get(level)
+        if r is None:
+            r = RNSRing(
+                self.n, qs=self.qs[:level] + (self.p,), **self._ring_kwargs
+            )
+            self._ext[level] = r
+        return r
+
+    def q_at(self, level: int) -> int:
+        out = 1
+        for q in self.qs[:level]:
+            out *= q
+        return out
+
+    # -- encoder ----------------------------------------------------------
+
+    def encode(
+        self, z, *, level: Optional[int] = None, scale=None
+    ) -> Plaintext:
+        """Complex slots (..., n/2) -> Plaintext residues (level, ..., n)."""
+        level = self.L if level is None else int(level)
+        scale = Fraction(self.delta) if scale is None else Fraction(scale)
+        m = encode_coeffs(z, self.n, scale)
+        rns = np.stack(
+            [(m % q).astype(np.uint32) for q in self.qs[:level]], axis=0
+        )
+        return Plaintext(jnp.asarray(rns), level, scale)
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        """Plaintext -> complex slots, via exact CRT + centered lift."""
+        ring = self.ring(pt.level)
+        big = ring.from_rns(np.asarray(pt.rns))
+        q = ring.modulus
+        centered = np.where(big > q // 2, big - q, big).astype(np.float64)
+        return decode_coeffs(centered, self.n, pt.scale)
+
+    # -- sampling (host RNG; uniform-per-channel == uniform mod Q by CRT) --
+
+    def _uniform(self, qs: Sequence[int], shape) -> np.ndarray:
+        return np.stack(
+            [
+                self.rng.integers(0, q, size=shape).astype(np.uint32)
+                for q in qs
+            ],
+            axis=0,
+        )
+
+    def _gauss_rns(self, qs: Sequence[int], shape) -> np.ndarray:
+        e = np.rint(self.rng.normal(0.0, self.error_std, shape)).astype(
+            np.int64
+        )
+        return np.stack([(e % q).astype(np.uint32) for q in qs], axis=0)
+
+    def _ternary(self, shape) -> np.ndarray:
+        return self.rng.integers(-1, 2, size=shape).astype(np.int64)
+
+    # -- key generation -----------------------------------------------------
+
+    def _pg_residues(self) -> np.ndarray:
+        """(dnum=L, K) table: P * g_d mod each ext prime, g_d the CRT
+        idempotent of q_d in Q (1 mod q_d, 0 mod the other chain primes).
+        Host big-int once at keygen; see module docstring for why the same
+        table is valid at every level."""
+        Q = self.q_at(self.L)
+        ext_qs = self.qs + (self.p,)
+        out = np.empty((self.L, self.L + 1), dtype=np.uint32)
+        for d, qd in enumerate(self.qs):
+            qhat = Q // qd
+            g = qhat * pow(qhat % qd, -1, qd)
+            pg = self.p * g
+            out[d] = [pg % q for q in ext_qs]
+        return out
+
+    def _make_ksk(
+        self, target_ext: jnp.ndarray, s_ext: jnp.ndarray, rqp: RNSRing
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Gadget-encrypt ``target`` (residues (K, n) of the polynomial the
+        key must carry, e.g. s^2 or tau_g(s)) under s: row d is
+        (-(a_d s) + e_d + P g_d target, a_d).  Returns eval-domain halves
+        (dnum, K, n) ready for ksk_domain='ntt'."""
+        K, n = self.L + 1, self.n
+        ext_qs = np.array(self.qs + (self.p,), dtype=np.uint64)
+        pg = self._pg_residues()
+        tgt = np.asarray(target_ext).astype(np.uint64)
+        a = self._uniform(self.qs + (self.p,), (self.L, n))  # (K, dnum, n)
+        a = np.moveaxis(a, 0, 1)                             # (dnum, K, n)
+        a_s = np.asarray(rqp.polymul(jnp.asarray(np.moveaxis(a, 1, 0)),
+                                     s_ext[:, None, :]))     # (K, dnum, n)
+        a_s = np.moveaxis(a_s, 0, 1).astype(np.uint64)       # (dnum, K, n)
+        b = np.empty((self.L, K, n), dtype=np.uint32)
+        for d in range(self.L):
+            e = self._gauss_rns(self.qs + (self.p,), (n,)).astype(np.uint64)
+            pgt = (pg[d][:, None].astype(np.uint64) * tgt) % ext_qs[:, None]
+            b[d] = ((pgt + e + ext_qs[:, None] - a_s[d]) % ext_qs[:, None]
+                    ).astype(np.uint32)
+        rq = self.ring(self.L)
+        return (
+            rq.ksk_to_ntt(jnp.asarray(b), rqp, ch_axis=1),
+            rq.ksk_to_ntt(jnp.asarray(a), rqp, ch_axis=1),
+        )
+
+    def keygen(self, galois_steps: Sequence[int] = ()) -> KeySet:
+        """Sample a ternary secret; derive the public key, the
+        relinearization key, and rotation keys for ``galois_steps`` (slot
+        shifts; the conjugation key is always included)."""
+        n, K = self.n, self.L + 1
+        rq, rqp = self.ring(self.L), self.ext_ring(self.L)
+        s = self._ternary((n,))
+        ext_qs = self.qs + (self.p,)
+        s_ext = jnp.asarray(
+            np.stack([(s % q).astype(np.uint32) for q in ext_qs])
+        )
+        # public key at the top level: (-(a s) + e, a)
+        a = jnp.asarray(self._uniform(self.qs, (n,)))
+        e = jnp.asarray(self._gauss_rns(self.qs, (n,)))
+        p0 = rq.sub(e, rq.polymul(a, s_ext[: self.L]))
+        # relinearization key: carries s^2 (its residues via one polymul)
+        s2_ext = rqp.polymul(s_ext, s_ext)
+        rlk = self._make_ksk(s2_ext, s_ext, rqp)
+        # rotation/conjugation keys: carry tau_g(s)
+        gk: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        elts = {self.galois_element(int(t)) for t in galois_steps}
+        elts.add(2 * n - 1)  # conjugation
+        # g=1 ("rotate by 0") gets a key too: it keeps identity terms on the
+        # SAME fused hoisted_linear_sum path as every other BSGS term (a
+        # tau_1 key is just a gadget encryption of s; switching c1 against
+        # it re-encrypts the c1*s phase exactly like any rotation)
+        elts.add(1)
+        for g in sorted(elts):
+            gk[g] = self._make_ksk(
+                rqp.automorphism(s_ext, g), s_ext, rqp
+            )
+        return KeySet(sk=s, sk_rns=s_ext, pk=(p0, a), rlk=rlk, gk=gk)
+
+    def galois_element(self, t: int) -> int:
+        """Slot rotation by ``t`` (left) as a Galois element 5^t mod 2n."""
+        return pow(5, t % (self.n // 2), 2 * self.n)
+
+    # -- encryption ---------------------------------------------------------
+
+    def encrypt(self, pt: Plaintext, keys: KeySet) -> Ciphertext:
+        """Public-key encryption: (pk0 v + m + e0, pk1 v + e1)."""
+        lvl = pt.level
+        r = self.ring(lvl)
+        shape = pt.rns.shape[1:]
+        v = self._ternary(shape)
+        v_rns = jnp.asarray(
+            np.stack([(v % q).astype(np.uint32) for q in self.qs[:lvl]])
+        )
+        e0 = jnp.asarray(self._gauss_rns(self.qs[:lvl], shape))
+        e1 = jnp.asarray(self._gauss_rns(self.qs[:lvl], shape))
+        pk0, pk1 = keys.pk
+        pk0, pk1 = pk0[:lvl], pk1[:lvl]
+        c0 = r.add(r.add(r.polymul(pk0, v_rns), pt.rns), e0)
+        c1 = r.add(r.polymul(pk1, v_rns), e1)
+        return Ciphertext(c0, c1, lvl, pt.scale)
+
+    def encrypt_symmetric(self, pt: Plaintext, keys: KeySet) -> Ciphertext:
+        """Secret-key encryption: (-(a s) + m + e, a)."""
+        lvl = pt.level
+        r = self.ring(lvl)
+        shape = pt.rns.shape[1:]
+        a = jnp.asarray(self._uniform(self.qs[:lvl], shape))
+        e = jnp.asarray(self._gauss_rns(self.qs[:lvl], shape))
+        c0 = r.sub(r.add(pt.rns, e), r.polymul(a, keys.sk_rns[:lvl]))
+        return Ciphertext(c0, a, lvl, pt.scale)
+
+    def decrypt(self, ct: Ciphertext, keys: KeySet) -> Plaintext:
+        """Phase c0 + c1 s as a Plaintext (decode() recovers the slots)."""
+        r = self.ring(ct.level)
+        ph = r.add(ct.c0, r.polymul(ct.c1, keys.sk_rns[: ct.level]))
+        return Plaintext(ph, ct.level, ct.scale)
+
+    # -- evaluator: linear ops ---------------------------------------------
+
+    def _aligned(self, a: Ciphertext, b: Ciphertext):
+        if a.level != b.level:
+            raise ValueError(
+                f"level mismatch {a.level} != {b.level}; mod_down_to first"
+            )
+        if a.scale != b.scale:
+            raise ValueError(
+                f"scale mismatch {a.scale} != {b.scale}; rescale/encode to "
+                "matching scales"
+            )
+        return self.ring(a.level)
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        r = self._aligned(a, b)
+        return Ciphertext(
+            r.add(a.c0, b.c0), r.add(a.c1, b.c1), a.level, a.scale
+        )
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        r = self._aligned(a, b)
+        return Ciphertext(
+            r.sub(a.c0, b.c0), r.sub(a.c1, b.c1), a.level, a.scale
+        )
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        r = self.ring(a.level)
+        return Ciphertext(r.neg(a.c0), r.neg(a.c1), a.level, a.scale)
+
+    def _pt_at(self, pt: Plaintext, level: int) -> jnp.ndarray:
+        """Plaintext residues restricted to ``level`` channels.  Valid
+        because encodings are residues of SMALL signed integers (|m| <<
+        Q_level/2), so dropping channels preserves the represented value."""
+        if pt.level < level:
+            raise ValueError(
+                f"plaintext at level {pt.level} < ciphertext {level}"
+            )
+        return pt.rns[:level]
+
+    def add_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        if pt.scale != ct.scale:
+            raise ValueError(f"scale mismatch {pt.scale} != {ct.scale}")
+        r = self.ring(ct.level)
+        return Ciphertext(
+            r.add(ct.c0, self._pt_at(pt, ct.level)), ct.c1,
+            ct.level, ct.scale,
+        )
+
+    def mul_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        r = self.ring(ct.level)
+        w = self._pt_at(pt, ct.level)
+        return Ciphertext(
+            r.polymul(ct.c0, w), r.polymul(ct.c1, w),
+            ct.level, ct.scale * pt.scale,
+        )
+
+    # -- evaluator: multiply / relinearize / rescale -------------------------
+
+    def _sliced_keys(
+        self, pair: Tuple[jnp.ndarray, jnp.ndarray], level: int
+    ) -> jnp.ndarray:
+        """Stack the (b, a) eval-domain halves restricted to ``level``:
+        digit rows :level, channels (0..level-1, K-1).  Cached per key;
+        the cache entry pins the parent arrays so the id() key can never be
+        recycled onto a different key's storage."""
+        ck = (id(pair[0]), id(pair[1]), level)
+        hit = self._key_slices.get(ck)
+        if hit is not None:
+            return hit[1]
+        idx = np.concatenate([np.arange(level), [self.L]])
+        out = jnp.stack(
+            [pair[0][:level][:, idx], pair[1][:level][:, idx]], axis=0
+        )
+        self._key_slices[ck] = (pair, out)
+        return out
+
+    def _keyswitch_pair(
+        self, x: jnp.ndarray, pair, level: int, g: int
+    ) -> jnp.ndarray:
+        """keyswitch(tau_g(x)) against both key halves with ONE hoisted
+        decomposition: (2, level, ..., n) = (b-half, a-half) results."""
+        r = self.ring(level)
+        ks = self._sliced_keys(pair, level)
+        return r.hoisted_keyswitch(
+            x, ks, (g, g), self.ext_ring(level), level, ksk_domain="ntt"
+        )
+
+    def multiply(
+        self, a: Ciphertext, b: Ciphertext, keys: KeySet
+    ) -> Ciphertext:
+        """Tensor product + relinearization (Karatsuba: 3 polymuls; the
+        degree-2 term folds back through one hoisted two-half keyswitch)."""
+        r = self._aligned(a, b)
+        d0 = r.polymul(a.c0, b.c0)
+        d2 = r.polymul(a.c1, b.c1)
+        cross = r.polymul(r.add(a.c0, a.c1), r.add(b.c0, b.c1))
+        d1 = r.sub(r.sub(cross, d0), d2)
+        hs = self._keyswitch_pair(d2, keys.rlk, a.level, 1)
+        return Ciphertext(
+            r.add(d0, hs[0]), r.add(d1, hs[1]), a.level, a.scale * b.scale
+        )
+
+    def square(self, a: Ciphertext, keys: KeySet) -> Ciphertext:
+        r = self.ring(a.level)
+        d0 = r.polymul(a.c0, a.c0)
+        d2 = r.polymul(a.c1, a.c1)
+        x = r.polymul(a.c0, a.c1)
+        d1 = r.add(x, x)
+        hs = self._keyswitch_pair(d2, keys.rlk, a.level, 1)
+        return Ciphertext(
+            r.add(d0, hs[0]), r.add(d1, hs[1]), a.level, a.scale * a.scale
+        )
+
+    def rescale(self, ct: Ciphertext) -> Ciphertext:
+        """Divide-and-round both parts by the level's last prime."""
+        r = self.ring(ct.level)
+        q_last = self.qs[ct.level - 1]
+        return Ciphertext(
+            r.rescale(ct.c0), r.rescale(ct.c1),
+            ct.level - 1, ct.scale / q_last,
+        )
+
+    def mod_down_to(self, ct: Ciphertext, level: int) -> Ciphertext:
+        """Align ``ct`` to a lower level by dropping RNS limbs.
+
+        Valid without any arithmetic: the decryption congruence
+        c0 + c1 s ≡ Δm + e (mod Q_l) implies the same congruence mod the
+        divisor Q_level, and |Δm + e| << Q_level/2, so the remaining limbs
+        still decrypt to the same message at the SAME scale.  (Divide-and-
+        round modulus switching — ``RNSRing.mod_down`` — is the noise-
+        control variant that also divides the scale; CKKS level alignment
+        wants the drop.)"""
+        if level > ct.level:
+            raise ValueError(f"cannot raise level {ct.level} -> {level}")
+        if level == ct.level:
+            return ct
+        self.ring(level)  # validates the target level
+        return Ciphertext(
+            ct.c0[:level], ct.c1[:level], level, ct.scale
+        )
+
+    # -- evaluator: rotations -------------------------------------------------
+
+    def _apply_galois(
+        self, ct: Ciphertext, g: int, keys: KeySet
+    ) -> Ciphertext:
+        if g == 1:
+            return ct
+        pair = keys.gk.get(g)
+        if pair is None:
+            raise KeyError(
+                f"no rotation key for Galois element {g}; pass the step to "
+                "keygen(galois_steps=...)"
+            )
+        r = self.ring(ct.level)
+        hs = self._keyswitch_pair(ct.c1, pair, ct.level, g)
+        return Ciphertext(
+            r.add(r.automorphism(ct.c0, g), hs[0]), hs[1],
+            ct.level, ct.scale,
+        )
+
+    def rotate(self, ct: Ciphertext, t: int, keys: KeySet) -> Ciphertext:
+        """Rotate slots left by ``t`` (negative t rotates right)."""
+        return self._apply_galois(ct, self.galois_element(t), keys)
+
+    def conjugate(self, ct: Ciphertext, keys: KeySet) -> Ciphertext:
+        return self._apply_galois(ct, 2 * self.n - 1, keys)
+
+    # -- evaluator: fused BSGS linear transform -------------------------------
+
+    def make_linear_op(
+        self,
+        terms: Sequence[Tuple[int, np.ndarray]],
+        keys: KeySet,
+        level: int,
+        *,
+        scale=None,
+    ) -> LinearOp:
+        """Bake sum_j diag_j * rot_{t_j}(ct) into a LinearOp: weights are
+        encoded into the EXTENDED basis and NTT'd once, rotation keys are
+        sliced and stacked once — apply_linear then runs the whole transform
+        as a single fused hoisted_linear_sum call (one decomposition, one
+        deferred ModDown)."""
+        scale = Fraction(self.delta) if scale is None else Fraction(scale)
+        ext = self.ext_ring(level)
+        rq = self.ring(level)
+        gs, pts, kbs, kas = [], [], [], []
+        for t, w in terms:
+            g = self.galois_element(int(t))
+            m = encode_coeffs(w, self.n, scale)
+            pts.append(
+                np.stack([(m % q).astype(np.uint32) for q in ext.qs])
+            )
+            pair = keys.gk.get(g)
+            if pair is None:
+                raise KeyError(
+                    f"no rotation key for step {t} (element {g})"
+                )
+            sl = self._sliced_keys(pair, level)
+            gs.append(g)
+            kbs.append(sl[0])
+            kas.append(sl[1])
+        pts_ntt = rq.ksk_to_ntt(jnp.asarray(np.stack(pts)), ext, ch_axis=1)
+        return LinearOp(
+            gs=tuple(gs),
+            pts_ntt=pts_ntt,
+            kb_ntt=jnp.stack(kbs),
+            ka_ntt=jnp.stack(kas),
+            level=level,
+            scale=scale,
+        )
+
+    def apply_linear(self, ct: Ciphertext, op: LinearOp) -> Ciphertext:
+        """sum_j pt_j (*) rot_j(ct) — one fused call (see make_linear_op)."""
+        if ct.level != op.level:
+            raise ValueError(
+                f"ciphertext level {ct.level} != op level {op.level}"
+            )
+        r = self.ring(ct.level)
+        o0, o1 = r.hoisted_linear_sum(
+            ct.c0, ct.c1, op.pts_ntt, op.kb_ntt, op.ka_ntt, op.gs,
+            self.ext_ring(ct.level), ct.level,
+            ksk_domain="ntt", pt_domain="ntt",
+        )
+        return Ciphertext(o0, o1, ct.level, ct.scale * op.scale)

@@ -23,6 +23,7 @@ _EXAMPLES = [
     ("basic_usage.py", 600),       # includes a four-step n=2^17 compile
     ("ckks_rns_toy.py", 900),      # big-int oracle convolutions dominate
     ("bsgs_matvec.py", 900),       # 9-term host-oracle linear map
+    ("ckks_scheme.py", 600),       # first-class scheme API
 ]
 
 
