@@ -386,6 +386,29 @@ class ShardedRing:
             lambda v: self.ring.automorphism(v, k, domain=domain),
         )
 
+    # elementwise modular arithmetic is sharding-transparent (no cross-
+    # device data flow); delegate under jit with the output pinned to this
+    # ring's placement so downstream ops see the canonical layout
+    def add(self, a, b) -> jnp.ndarray:
+        return self._gather_delegate(
+            "add2", jnp.stack([jnp.asarray(a, dtype=jnp.uint32),
+                       jnp.asarray(b, dtype=jnp.uint32)]),
+            lambda v: self.ring.add(v[0], v[1]),
+        )
+
+    def sub(self, a, b) -> jnp.ndarray:
+        return self._gather_delegate(
+            "sub2", jnp.stack([jnp.asarray(a, dtype=jnp.uint32),
+                       jnp.asarray(b, dtype=jnp.uint32)]),
+            lambda v: self.ring.sub(v[0], v[1]),
+        )
+
+    def neg(self, a) -> jnp.ndarray:
+        return self._gather_delegate(
+            "neg", jnp.asarray(a, dtype=jnp.uint32),
+            lambda v: self.ring.neg(v),
+        )
+
 
 class ShardedRNSRing:
     """An RNSRing distributed over a device mesh: L prime channels, each
@@ -881,6 +904,30 @@ class ShardedRNSRing:
         return self._gather_delegate(
             ("automorphism", int(k), domain), x,
             lambda v: self.rns.automorphism(v, k, domain=domain),
+        )
+
+    # elementwise modular arithmetic is sharding-transparent; delegate under
+    # jit with the output pinned back to the (ch, dp, sp) placement
+    def add(self, a, b) -> jnp.ndarray:
+        return self._gather_delegate(
+            "add2",
+            jnp.stack([jnp.asarray(a, dtype=jnp.uint32),
+                       jnp.asarray(b, dtype=jnp.uint32)]),
+            lambda v: self.rns.add(v[0], v[1]),
+        )
+
+    def sub(self, a, b) -> jnp.ndarray:
+        return self._gather_delegate(
+            "sub2",
+            jnp.stack([jnp.asarray(a, dtype=jnp.uint32),
+                       jnp.asarray(b, dtype=jnp.uint32)]),
+            lambda v: self.rns.sub(v[0], v[1]),
+        )
+
+    def neg(self, a) -> jnp.ndarray:
+        return self._gather_delegate(
+            "neg", jnp.asarray(a, dtype=jnp.uint32),
+            lambda v: self.rns.neg(v),
         )
 
     def _mixing_op(self, key, x, call):

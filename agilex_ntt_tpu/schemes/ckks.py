@@ -148,6 +148,11 @@ class KeySet:
     pk: Tuple[jnp.ndarray, jnp.ndarray]        # (p0, p1), each (L, n)
     rlk: Tuple[jnp.ndarray, jnp.ndarray]       # eval-domain (dnum, K, n) x2
     gk: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]]  # galois elt -> pair
+    # coefficient-domain halves of the same material: the mesh-sharded
+    # keyswitch ops transform keys inside the call (no ksk_domain support
+    # there yet), so both domains are kept (a few (dnum, K, n) arrays)
+    rlk_coeff: Tuple[jnp.ndarray, jnp.ndarray] = None
+    gk_coeff: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = None
 
 
 @dataclasses.dataclass
@@ -156,11 +161,12 @@ class LinearOp:
     level — the serving object (build once, apply per ciphertext)."""
 
     gs: Tuple[int, ...]
-    pts_ntt: jnp.ndarray           # (nk, K_l, n), eval domain, ext basis
-    kb_ntt: jnp.ndarray            # (nk, dnum_l, K_l, n)
-    ka_ntt: jnp.ndarray
+    pts: jnp.ndarray               # (nk, K_l, n), ext basis
+    kb: jnp.ndarray                # (nk, dnum_l, K_l, n)
+    ka: jnp.ndarray
     level: int
     scale: Fraction
+    domain: str = "ntt"            # "ntt" off-mesh; "coeff" on-mesh
 
 
 class CKKSContext:
@@ -177,6 +183,12 @@ class CKKSContext:
                  P >= q_i keeps the key-switch noise ~|e|).
     rng:         numpy Generator for all sampling (keygen/encrypt).
     error_std:   rounded-gaussian error width.
+    mesh:        optional jax.sharding.Mesh — evaluator ops then run on
+                 ShardedRNSRing (batch over ``dp_axis``, coefficients over
+                 ``sp_axis``), bit-identical to the single-chip path.
+                 Ciphertexts must carry exactly one batch dim (L, B, n);
+                 place them with :meth:`place`.  Keygen/encode/encrypt/
+                 decrypt stay host-driven on the base rings.
     ring_kwargs: forwarded to every RNSRing/Ring (backend/method/...).
     """
 
@@ -191,6 +203,9 @@ class CKKSContext:
         bits: int = 30,
         rng: Optional[np.random.Generator] = None,
         error_std: float = 3.2,
+        mesh=None,
+        dp_axis: str = "dp",
+        sp_axis: Optional[str] = None,
         **ring_kwargs,
     ):
         if qs is None or p is None:
@@ -206,15 +221,19 @@ class CKKSContext:
         self.delta = int(delta) if delta is not None else 1 << (bits - 1)
         self.error_std = float(error_std)
         self.rng = rng if rng is not None else np.random.default_rng(0)
+        self.mesh = mesh
+        self.dp_axis = dp_axis
+        self.sp_axis = sp_axis
         self._ring_kwargs = ring_kwargs
         self._rings: Dict[int, RNSRing] = {}
         self._ext: Dict[int, RNSRing] = {}
-        self._key_slices: Dict[Tuple[int, int, int], jnp.ndarray] = {}
+        self._sharded: Dict[int, object] = {}
+        self._key_slices: Dict[tuple, tuple] = {}
 
     # -- bases ------------------------------------------------------------
 
-    def ring(self, level: int) -> RNSRing:
-        """The base ring at ``level`` (primes qs[:level])."""
+    def base_ring(self, level: int) -> RNSRing:
+        """The single-chip ring at ``level`` (primes qs[:level])."""
         if not 1 <= level <= self.L:
             raise ValueError(f"level must be in [1, {self.L}], got {level}")
         r = self._rings.get(level)
@@ -222,6 +241,32 @@ class CKKSContext:
             r = RNSRing(self.n, qs=self.qs[:level], **self._ring_kwargs)
             self._rings[level] = r
         return r
+
+    def ring(self, level: int):
+        """The ring evaluator ops dispatch to: the base ring, or its
+        ShardedRNSRing wrapper when the context has a mesh."""
+        if self.mesh is None:
+            return self.base_ring(level)
+        r = self._sharded.get(level)
+        if r is None:
+            from ..parallel.mesh import ShardedRNSRing
+
+            r = ShardedRNSRing(
+                self.base_ring(level), self.mesh,
+                dp_axis=self.dp_axis, sp_axis=self.sp_axis,
+            )
+            self._sharded[level] = r
+        return r
+
+    def place(self, ct: Ciphertext) -> Ciphertext:
+        """Place a ciphertext's parts with the mesh sharding (no-op
+        without a mesh)."""
+        if self.mesh is None:
+            return ct
+        r = self.ring(ct.level)
+        return Ciphertext(
+            r.shard(ct.c0), r.shard(ct.c1), ct.level, ct.scale
+        )
 
     def ext_ring(self, level: int) -> RNSRing:
         """The extended ring at ``level`` (primes qs[:level] + (P,))."""
@@ -255,7 +300,7 @@ class CKKSContext:
 
     def decode(self, pt: Plaintext) -> np.ndarray:
         """Plaintext -> complex slots, via exact CRT + centered lift."""
-        ring = self.ring(pt.level)
+        ring = self.base_ring(pt.level)
         big = ring.from_rns(np.asarray(pt.rns))
         q = ring.modulus
         centered = np.where(big > q // 2, big - q, big).astype(np.float64)
@@ -304,7 +349,7 @@ class CKKSContext:
         """Gadget-encrypt ``target`` (residues (K, n) of the polynomial the
         key must carry, e.g. s^2 or tau_g(s)) under s: row d is
         (-(a_d s) + e_d + P g_d target, a_d).  Returns eval-domain halves
-        (dnum, K, n) ready for ksk_domain='ntt'."""
+        (dnum, K, n) in BOTH domains: (b_ntt, a_ntt, b_coeff, a_coeff)."""
         K, n = self.L + 1, self.n
         ext_qs = np.array(self.qs + (self.p,), dtype=np.uint64)
         pg = self._pg_residues()
@@ -320,10 +365,13 @@ class CKKSContext:
             pgt = (pg[d][:, None].astype(np.uint64) * tgt) % ext_qs[:, None]
             b[d] = ((pgt + e + ext_qs[:, None] - a_s[d]) % ext_qs[:, None]
                     ).astype(np.uint32)
-        rq = self.ring(self.L)
+        rq = self.base_ring(self.L)
+        b, a = jnp.asarray(b), jnp.asarray(a)
         return (
-            rq.ksk_to_ntt(jnp.asarray(b), rqp, ch_axis=1),
-            rq.ksk_to_ntt(jnp.asarray(a), rqp, ch_axis=1),
+            rq.ksk_to_ntt(b, rqp, ch_axis=1),
+            rq.ksk_to_ntt(a, rqp, ch_axis=1),
+            b,
+            a,
         )
 
     def keygen(self, galois_steps: Sequence[int] = ()) -> KeySet:
@@ -331,7 +379,7 @@ class CKKSContext:
         relinearization key, and rotation keys for ``galois_steps`` (slot
         shifts; the conjugation key is always included)."""
         n, K = self.n, self.L + 1
-        rq, rqp = self.ring(self.L), self.ext_ring(self.L)
+        rq, rqp = self.base_ring(self.L), self.ext_ring(self.L)
         s = self._ternary((n,))
         ext_qs = self.qs + (self.p,)
         s_ext = jnp.asarray(
@@ -343,7 +391,7 @@ class CKKSContext:
         p0 = rq.sub(e, rq.polymul(a, s_ext[: self.L]))
         # relinearization key: carries s^2 (its residues via one polymul)
         s2_ext = rqp.polymul(s_ext, s_ext)
-        rlk = self._make_ksk(s2_ext, s_ext, rqp)
+        rb, ra, rbc, rac = self._make_ksk(s2_ext, s_ext, rqp)
         # rotation/conjugation keys: carry tau_g(s)
         gk: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         elts = {self.galois_element(int(t)) for t in galois_steps}
@@ -353,11 +401,15 @@ class CKKSContext:
         # tau_1 key is just a gadget encryption of s; switching c1 against
         # it re-encrypts the c1*s phase exactly like any rotation)
         elts.add(1)
+        gk_coeff: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         for g in sorted(elts):
-            gk[g] = self._make_ksk(
+            gb, ga, gbc, gac = self._make_ksk(
                 rqp.automorphism(s_ext, g), s_ext, rqp
             )
-        return KeySet(sk=s, sk_rns=s_ext, pk=(p0, a), rlk=rlk, gk=gk)
+            gk[g] = (gb, ga)
+            gk_coeff[g] = (gbc, gac)
+        return KeySet(sk=s, sk_rns=s_ext, pk=(p0, a), rlk=(rb, ra), gk=gk,
+                      rlk_coeff=(rbc, rac), gk_coeff=gk_coeff)
 
     def galois_element(self, t: int) -> int:
         """Slot rotation by ``t`` (left) as a Galois element 5^t mod 2n."""
@@ -368,7 +420,7 @@ class CKKSContext:
     def encrypt(self, pt: Plaintext, keys: KeySet) -> Ciphertext:
         """Public-key encryption: (pk0 v + m + e0, pk1 v + e1)."""
         lvl = pt.level
-        r = self.ring(lvl)
+        r = self.base_ring(lvl)
         shape = pt.rns.shape[1:]
         v = self._ternary(shape)
         v_rns = jnp.asarray(
@@ -385,7 +437,7 @@ class CKKSContext:
     def encrypt_symmetric(self, pt: Plaintext, keys: KeySet) -> Ciphertext:
         """Secret-key encryption: (-(a s) + m + e, a)."""
         lvl = pt.level
-        r = self.ring(lvl)
+        r = self.base_ring(lvl)
         shape = pt.rns.shape[1:]
         a = jnp.asarray(self._uniform(self.qs[:lvl], shape))
         e = jnp.asarray(self._gauss_rns(self.qs[:lvl], shape))
@@ -394,8 +446,9 @@ class CKKSContext:
 
     def decrypt(self, ct: Ciphertext, keys: KeySet) -> Plaintext:
         """Phase c0 + c1 s as a Plaintext (decode() recovers the slots)."""
-        r = self.ring(ct.level)
-        ph = r.add(ct.c0, r.polymul(ct.c1, keys.sk_rns[: ct.level]))
+        r = self.base_ring(ct.level)
+        ph = r.add(np.asarray(ct.c0),
+                   r.polymul(np.asarray(ct.c1), keys.sk_rns[: ct.level]))
         return Plaintext(ph, ct.level, ct.scale)
 
     # -- evaluator: linear ops ---------------------------------------------
@@ -442,14 +495,14 @@ class CKKSContext:
         if pt.scale != ct.scale:
             raise ValueError(f"scale mismatch {pt.scale} != {ct.scale}")
         r = self.ring(ct.level)
+        w = jnp.broadcast_to(self._pt_at(pt, ct.level), ct.c0.shape)
         return Ciphertext(
-            r.add(ct.c0, self._pt_at(pt, ct.level)), ct.c1,
-            ct.level, ct.scale,
+            r.add(ct.c0, w), ct.c1, ct.level, ct.scale,
         )
 
     def mul_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
         r = self.ring(ct.level)
-        w = self._pt_at(pt, ct.level)
+        w = jnp.broadcast_to(self._pt_at(pt, ct.level), ct.c0.shape)
         return Ciphertext(
             r.polymul(ct.c0, w), r.polymul(ct.c1, w),
             ct.level, ct.scale * pt.scale,
@@ -479,12 +532,27 @@ class CKKSContext:
         self, x: jnp.ndarray, pair, level: int, g: int
     ) -> jnp.ndarray:
         """keyswitch(tau_g(x)) against both key halves with ONE hoisted
-        decomposition: (2, level, ..., n) = (b-half, a-half) results."""
+        decomposition: (2, level, ..., n) = (b-half, a-half) results.
+        ``pair`` must be eval-domain material off-mesh and coeff-domain
+        material on-mesh (the caller picks via :meth:`_key_pair`)."""
         r = self.ring(level)
         ks = self._sliced_keys(pair, level)
+        if self.mesh is not None:
+            return r.hoisted_keyswitch(
+                x, ks, (g, g), self.ext_ring(level), level
+            )
         return r.hoisted_keyswitch(
             x, ks, (g, g), self.ext_ring(level), level, ksk_domain="ntt"
         )
+
+    def _key_pair(self, keys: KeySet, g: Optional[int] = None):
+        """The (b, a) halves in the domain the active ring dispatch needs:
+        relinearization key when ``g`` is None, else the rotation key."""
+        coeff = self.mesh is not None
+        if g is None:
+            return keys.rlk_coeff if coeff else keys.rlk
+        table = keys.gk_coeff if coeff else keys.gk
+        return (table or {}).get(g)
 
     def multiply(
         self, a: Ciphertext, b: Ciphertext, keys: KeySet
@@ -496,7 +564,7 @@ class CKKSContext:
         d2 = r.polymul(a.c1, b.c1)
         cross = r.polymul(r.add(a.c0, a.c1), r.add(b.c0, b.c1))
         d1 = r.sub(r.sub(cross, d0), d2)
-        hs = self._keyswitch_pair(d2, keys.rlk, a.level, 1)
+        hs = self._keyswitch_pair(d2, self._key_pair(keys), a.level, 1)
         return Ciphertext(
             r.add(d0, hs[0]), r.add(d1, hs[1]), a.level, a.scale * b.scale
         )
@@ -507,7 +575,7 @@ class CKKSContext:
         d2 = r.polymul(a.c1, a.c1)
         x = r.polymul(a.c0, a.c1)
         d1 = r.add(x, x)
-        hs = self._keyswitch_pair(d2, keys.rlk, a.level, 1)
+        hs = self._keyswitch_pair(d2, self._key_pair(keys), a.level, 1)
         return Ciphertext(
             r.add(d0, hs[0]), r.add(d1, hs[1]), a.level, a.scale * a.scale
         )
@@ -535,10 +603,10 @@ class CKKSContext:
             raise ValueError(f"cannot raise level {ct.level} -> {level}")
         if level == ct.level:
             return ct
-        self.ring(level)  # validates the target level
-        return Ciphertext(
+        self.base_ring(level)  # validates the target level
+        return self.place(Ciphertext(
             ct.c0[:level], ct.c1[:level], level, ct.scale
-        )
+        ))
 
     # -- evaluator: rotations -------------------------------------------------
 
@@ -547,7 +615,7 @@ class CKKSContext:
     ) -> Ciphertext:
         if g == 1:
             return ct
-        pair = keys.gk.get(g)
+        pair = self._key_pair(keys, g)
         if pair is None:
             raise KeyError(
                 f"no rotation key for Galois element {g}; pass the step to "
@@ -584,7 +652,7 @@ class CKKSContext:
         deferred ModDown)."""
         scale = Fraction(self.delta) if scale is None else Fraction(scale)
         ext = self.ext_ring(level)
-        rq = self.ring(level)
+        domain = "coeff" if self.mesh is not None else "ntt"
         gs, pts, kbs, kas = [], [], [], []
         for t, w in terms:
             g = self.galois_element(int(t))
@@ -592,7 +660,7 @@ class CKKSContext:
             pts.append(
                 np.stack([(m % q).astype(np.uint32) for q in ext.qs])
             )
-            pair = keys.gk.get(g)
+            pair = self._key_pair(keys, g)
             if pair is None:
                 raise KeyError(
                     f"no rotation key for step {t} (element {g})"
@@ -601,14 +669,17 @@ class CKKSContext:
             gs.append(g)
             kbs.append(sl[0])
             kas.append(sl[1])
-        pts_ntt = rq.ksk_to_ntt(jnp.asarray(np.stack(pts)), ext, ch_axis=1)
+        pts = jnp.asarray(np.stack(pts))
+        if domain == "ntt":
+            pts = self.base_ring(level).ksk_to_ntt(pts, ext, ch_axis=1)
         return LinearOp(
             gs=tuple(gs),
-            pts_ntt=pts_ntt,
-            kb_ntt=jnp.stack(kbs),
-            ka_ntt=jnp.stack(kas),
+            pts=pts,
+            kb=jnp.stack(kbs),
+            ka=jnp.stack(kas),
             level=level,
             scale=scale,
+            domain=domain,
         )
 
     def apply_linear(self, ct: Ciphertext, op: LinearOp) -> Ciphertext:
@@ -618,9 +689,21 @@ class CKKSContext:
                 f"ciphertext level {ct.level} != op level {op.level}"
             )
         r = self.ring(ct.level)
-        o0, o1 = r.hoisted_linear_sum(
-            ct.c0, ct.c1, op.pts_ntt, op.kb_ntt, op.ka_ntt, op.gs,
-            self.ext_ring(ct.level), ct.level,
-            ksk_domain="ntt", pt_domain="ntt",
-        )
+        want = "coeff" if self.mesh is not None else "ntt"
+        if op.domain != want:
+            raise ValueError(
+                f"LinearOp baked for domain {op.domain!r}; this context "
+                f"dispatches {want!r} — rebuild it with make_linear_op"
+            )
+        if self.mesh is not None:
+            o0, o1 = r.hoisted_linear_sum(
+                ct.c0, ct.c1, op.pts, op.kb, op.ka, op.gs,
+                self.ext_ring(ct.level), ct.level,
+            )
+        else:
+            o0, o1 = r.hoisted_linear_sum(
+                ct.c0, ct.c1, op.pts, op.kb, op.ka, op.gs,
+                self.ext_ring(ct.level), ct.level,
+                ksk_domain="ntt", pt_domain="ntt",
+            )
         return Ciphertext(o0, o1, ct.level, ct.scale * op.scale)

@@ -1,0 +1,108 @@
+"""Mesh-sharded CKKS evaluator: bit-identical to the single-chip path.
+
+A CKKSContext with a mesh dispatches every evaluator op through
+ShardedRNSRing (batch over dp).  The sharded ring ops are documented
+bit-identical to RNSRing, so the whole scheme must be too: the same keys
+and ciphertexts produce byte-equal results either way.  (The reference
+never spans work across compute units for one frame — SURVEY.md §2; this
+is the beyond-reference distributed serving path.)
+"""
+
+import numpy as np
+import pytest
+
+from agilex_ntt_tpu.parallel import make_mesh
+from agilex_ntt_tpu.schemes import CKKSContext
+
+N = 256
+SLOTS = N // 2
+B = 8  # batch; dp=4 divides it
+
+
+@pytest.fixture(scope="module")
+def base():
+    ctx = CKKSContext(N, num_primes=3, rng=np.random.default_rng(3))
+    keys = ctx.keygen(galois_steps=(0, 1, -1))
+    rng = np.random.default_rng(9)
+    z = rng.uniform(-1, 1, (B, SLOTS)) + 1j * rng.uniform(-1, 1, (B, SLOTS))
+    w = rng.uniform(-1, 1, (B, SLOTS)) + 1j * rng.uniform(-1, 1, (B, SLOTS))
+    ct1 = ctx.encrypt(ctx.encode(z), keys)
+    ct2 = ctx.encrypt(ctx.encode(w), keys)
+    return ctx, keys, z, w, ct1, ct2
+
+
+@pytest.fixture(scope="module")
+def mctx():
+    mesh = make_mesh(dp=4)
+    return CKKSContext(N, num_primes=3, mesh=mesh)
+
+
+def same(a, b):
+    np.testing.assert_array_equal(np.asarray(a.c0), np.asarray(b.c0))
+    np.testing.assert_array_equal(np.asarray(a.c1), np.asarray(b.c1))
+    assert a.level == b.level and a.scale == b.scale
+
+
+def test_add_mul_plain_match(base, mctx):
+    ctx, keys, z, w, ct1, ct2 = base
+    m1, m2 = mctx.place(ct1), mctx.place(ct2)
+    same(mctx.add(m1, m2), ctx.add(ct1, ct2))
+    pt = ctx.encode(w)
+    same(mctx.mul_plain(m1, pt), ctx.mul_plain(ct1, pt))
+    same(mctx.add_plain(m1, pt), ctx.add_plain(ct1, pt))
+
+
+def test_multiply_relin_matches(base, mctx):
+    ctx, keys, z, w, ct1, ct2 = base
+    want = ctx.rescale(ctx.multiply(ct1, ct2, keys))
+    got = mctx.rescale(
+        mctx.multiply(mctx.place(ct1), mctx.place(ct2), keys)
+    )
+    same(got, want)
+    np.testing.assert_allclose(
+        ctx.decode(ctx.decrypt(got, keys)), z * w, atol=1e-3
+    )
+
+
+def test_rotate_matches(base, mctx):
+    ctx, keys, z, w, ct1, ct2 = base
+    same(mctx.rotate(mctx.place(ct1), 1, keys), ctx.rotate(ct1, 1, keys))
+    same(mctx.conjugate(mctx.place(ct1), keys), ctx.conjugate(ct1, keys))
+
+
+def test_lower_level_multiply_matches(base, mctx):
+    ctx, keys, z, w, ct1, ct2 = base
+    lo1, lo2 = (ctx.mod_down_to(c, ctx.L - 1) for c in (ct1, ct2))
+    want = ctx.multiply(lo1, lo2, keys)
+    got = mctx.multiply(
+        mctx.mod_down_to(mctx.place(ct1), ctx.L - 1),
+        mctx.mod_down_to(mctx.place(ct2), ctx.L - 1),
+        keys,
+    )
+    same(got, want)
+
+
+def test_linear_op_matches(base, mctx):
+    ctx, keys, z, w, ct1, ct2 = base
+    rng = np.random.default_rng(4)
+    steps = (0, 1, -1)
+    ws = [rng.uniform(-1, 1, SLOTS) + 0j for _ in steps]
+    terms = list(zip(steps, ws))
+    op0 = ctx.make_linear_op(terms, keys, ctx.L)
+    opm = mctx.make_linear_op(terms, keys, ctx.L)
+    assert op0.domain == "ntt" and opm.domain == "coeff"
+    want = ctx.apply_linear(ct1, op0)
+    got = mctx.apply_linear(mctx.place(ct1), opm)
+    same(got, want)
+    dec = ctx.decode(ctx.decrypt(ctx.rescale(want), keys))
+    oracle = sum(
+        wv[None] * np.roll(z, -t, axis=-1) for t, wv in zip(steps, ws)
+    )
+    np.testing.assert_allclose(dec, oracle, atol=5e-3)
+
+
+def test_domain_mismatch_raises(base, mctx):
+    ctx, keys, z, w, ct1, ct2 = base
+    op0 = ctx.make_linear_op([(1, np.ones(SLOTS) + 0j)], keys, ctx.L)
+    with pytest.raises(ValueError, match="baked for domain"):
+        mctx.apply_linear(mctx.place(ct1), op0)

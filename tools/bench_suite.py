@@ -180,6 +180,41 @@ def main():
     line(f"linear-transform terms/s composed (nk={nk}, dnum={dnum}, "
          f"n={ks_n}, batch={lb})", round(nk * lb / t, 1), "term/s", None)
 
+    # CKKS evaluator ops end to end (scheme layer over the fused kernels):
+    # ciphertext multiply + hoisted relinearization, and rotation — the
+    # serving ops an FHE deployment actually dispatches.  fn must be
+    # shape-preserving for the delta timer, so the timed op excludes the
+    # level-dropping rescale (cheap next to the keyswitch).
+    from agilex_ntt_tpu.schemes import CKKSContext, Ciphertext
+
+    ck_n = 4096 if on_tpu else 256
+    ck_b = 256 if on_tpu else 2
+    ctx = CKKSContext(ck_n, num_primes=3, rng=rngk)
+    ckeys = ctx.keygen(galois_steps=(1,))
+    zz = rngk.uniform(-1, 1, (ck_b, ck_n // 2)) + 0j
+    cta = ctx.encrypt(ctx.encode(zz), ckeys)
+    ctb = ctx.encrypt(ctx.encode(zz), ckeys)
+
+    def _ck_mul(v):
+        out = ctx.multiply(
+            Ciphertext(v, cta.c1, cta.level, cta.scale), ctb, ckeys
+        )
+        return out.c0.astype(jnp.uint32)
+
+    t = best(_ck_mul, cta.c0, max(4, iters // 4))
+    line(f"CKKS multiply+relin/s (n={ck_n}, L=3, batch={ck_b})",
+         round(ck_b / t, 1), "mult/s", None)
+
+    def _ck_rot(v):
+        out = ctx.rotate(
+            Ciphertext(v, cta.c1, cta.level, cta.scale), 1, ckeys
+        )
+        return out.c0.astype(jnp.uint32)
+
+    t = best(_ck_rot, cta.c0, max(4, iters // 4))
+    line(f"CKKS rotate/s (n={ck_n}, L=3, batch={ck_b})",
+         round(ck_b / t, 1), "rotation/s", None)
+
     # RNS: 3-prime channel throughput
     rb = 2048 if on_tpu else 16
     rns = RNSRing(4096, num_primes=3)
