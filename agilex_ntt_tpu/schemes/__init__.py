@@ -6,6 +6,14 @@ scheme on top — the workload the NTT exists to serve — so the framework is
 usable end to end on TPU.
 """
 
-from .ckks import CKKSContext, Ciphertext, KeySet, LinearOp, Plaintext
+from .ckks import (
+    CKKSContext,
+    Ciphertext,
+    KeySet,
+    LinearOp,
+    MatVecOp,
+    Plaintext,
+)
 
-__all__ = ["CKKSContext", "Ciphertext", "KeySet", "LinearOp", "Plaintext"]
+__all__ = ["CKKSContext", "Ciphertext", "KeySet", "LinearOp",
+           "MatVecOp", "Plaintext"]

@@ -53,6 +53,7 @@ __all__ = [
     "Ciphertext",
     "KeySet",
     "LinearOp",
+    "MatVecOp",
     "Plaintext",
     "encode_coeffs",
     "decode_coeffs",
@@ -153,6 +154,25 @@ class KeySet:
     # there yet), so both domains are kept (a few (dnum, K, n) arrays)
     rlk_coeff: Tuple[jnp.ndarray, jnp.ndarray] = None
     gk_coeff: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = None
+
+
+@dataclasses.dataclass
+class MatVecOp:
+    """Pre-baked two-level BSGS matrix-vector product (build once, apply
+    per ciphertext): baby-step rotation keys interleaved for one hoisted
+    call, per-giant-step diagonal bundles for fused polydots, and sliced
+    giant rotation keys."""
+
+    b: int                          # baby steps (inner rotations)
+    g: int                          # giant steps (outer rotations)
+    baby_gs: Tuple[int, ...]        # galois elts for j = 1..b-1
+    baby_ks: Tuple[int, ...]        # interleaved (g_j, g_j) hoisting plan
+    baby_ksks: Optional[jnp.ndarray]   # (2(b-1), dnum_l, K_l, n)
+    pts: jnp.ndarray                # (g, level, b, n) encoded diagonals
+    giants: Tuple[Tuple[int, jnp.ndarray], ...]  # (elt, sliced key pair)
+    level: int
+    scale: Fraction
+    domain: str = "ntt"
 
 
 @dataclasses.dataclass
@@ -707,3 +727,153 @@ class CKKSContext:
                 ksk_domain="ntt", pt_domain="ntt",
             )
         return Ciphertext(o0, o1, ct.level, ct.scale * op.scale)
+
+    # -- evaluator: two-level BSGS matrix-vector product -----------------------
+
+    def bsgs_split(self, count: int) -> Tuple[int, int]:
+        """Default (baby, giant) factorization: b = ceil(sqrt(count))."""
+        b = max(1, math.isqrt(count - 1) + 1) if count > 1 else 1
+        g = -(-count // b)
+        return b, g
+
+    def bsgs_steps(self, count: Optional[int] = None,
+                   bsgs: Optional[Tuple[int, int]] = None) -> Tuple[int, ...]:
+        """The rotation steps keygen must cover for a BSGS matvec over
+        ``count`` diagonals (default: all n/2)."""
+        count = self.n // 2 if count is None else int(count)
+        b, g = self.bsgs_split(count) if bsgs is None else bsgs
+        return tuple(range(1, b)) + tuple(
+            i * b for i in range(1, g)
+        )
+
+    def make_matvec(
+        self,
+        M: np.ndarray,
+        keys: KeySet,
+        level: int,
+        *,
+        bsgs: Optional[Tuple[int, int]] = None,
+        scale=None,
+    ) -> MatVecOp:
+        """Bake the slot-space product y = M @ z (M: (n/2, n/2) complex)
+        into a MatVecOp via the diagonal decomposition
+
+            M z = sum_i rot_{i*b}( sum_j rot_{i*b}^{-1}(diag_{i*b+j}) * rot_j(z) )
+
+        Cost per apply: ONE hoisted decomposition serving all b-1 baby
+        rotations, one fused polydot pair per giant step, and g-1 giant
+        rotations — b+g-2 key switches instead of n/2-1 for the naive
+        per-diagonal sum (the Halevi-Shoup recipe, PAPERS.md; the
+        reference's transform is the inner kernel of exactly this op)."""
+        S = self.n // 2
+        M = np.asarray(M, dtype=np.complex128)
+        if M.shape != (S, S):
+            raise ValueError(f"M must be ({S}, {S}), got {M.shape}")
+        scale = Fraction(self.delta) if scale is None else Fraction(scale)
+        b, g = self.bsgs_split(S) if bsgs is None else bsgs
+        if b * g < S:
+            raise ValueError(f"bsgs {b}x{g} covers {b * g} < {S} diagonals")
+        domain = "coeff" if self.mesh is not None else "ntt"
+        rows, cols = np.arange(S)[:, None], np.arange(S)[None, :]
+        # diag_d[l] = M[l, (l+d) mod S]; pre-rotate by +i*b for the giant fold
+        pts = np.zeros((g, level, b, self.n), dtype=np.uint32)
+        qs_l = self.qs[:level]
+        for i in range(g):
+            for j in range(b):
+                d = i * b + j
+                if d >= S:
+                    continue
+                diag = M[np.arange(S), (np.arange(S) + d) % S]
+                m = encode_coeffs(np.roll(diag, i * b), self.n, scale)
+                pts[i, :, j] = np.stack(
+                    [(m % q).astype(np.uint32) for q in qs_l]
+                )
+        baby_gs, ks, kb = [], [], []
+        for j in range(1, b):
+            gj = self.galois_element(j)
+            pair = self._key_pair(keys, gj)
+            if pair is None:
+                raise KeyError(
+                    f"no rotation key for baby step {j}; generate keys for "
+                    f"bsgs_steps({S}, bsgs=({b}, {g}))"
+                )
+            sl = self._sliced_keys(pair, level)
+            baby_gs.append(gj)
+            ks.extend((gj, gj))
+            kb.extend((sl[0], sl[1]))
+        giants = []
+        for i in range(1, g):
+            gi = self.galois_element(i * b)
+            pair = self._key_pair(keys, gi)
+            if pair is None:
+                raise KeyError(
+                    f"no rotation key for giant step {i * b}; generate keys "
+                    f"for bsgs_steps({S}, bsgs=({b}, {g}))"
+                )
+            giants.append((gi, self._sliced_keys(pair, level)))
+        return MatVecOp(
+            b=b, g=g, baby_gs=tuple(baby_gs), baby_ks=tuple(ks),
+            baby_ksks=jnp.stack(kb) if kb else None,
+            pts=jnp.asarray(pts), giants=tuple(giants),
+            level=level, scale=scale, domain=domain,
+        )
+
+    def apply_matvec(self, ct: Ciphertext, op: MatVecOp) -> Ciphertext:
+        """y = M @ z homomorphically (see make_matvec)."""
+        if ct.level != op.level:
+            raise ValueError(
+                f"ciphertext level {ct.level} != op level {op.level}"
+            )
+        want = "coeff" if self.mesh is not None else "ntt"
+        if op.domain != want:
+            raise ValueError(
+                f"MatVecOp baked for domain {op.domain!r}; this context "
+                f"dispatches {want!r} — rebuild it with make_matvec"
+            )
+        r = self.ring(ct.level)
+        lvl = ct.level
+        # baby rotations: ONE hoisted decomposition for all b-1 steps
+        c0s, c1s = [ct.c0], [ct.c1]
+        if op.baby_ksks is not None:
+            if self.mesh is not None:
+                hs = r.hoisted_keyswitch(
+                    ct.c1, op.baby_ksks, op.baby_ks,
+                    self.ext_ring(lvl), lvl,
+                )
+            else:
+                hs = r.hoisted_keyswitch(
+                    ct.c1, op.baby_ksks, op.baby_ks,
+                    self.ext_ring(lvl), lvl, ksk_domain="ntt",
+                )
+            for t, gj in enumerate(op.baby_gs):
+                c0s.append(r.add(r.automorphism(ct.c0, gj), hs[2 * t]))
+                c1s.append(hs[2 * t + 1])
+        C0 = jnp.stack(c0s, axis=-2)  # (level, ..., b, n)
+        C1 = jnp.stack(c1s, axis=-2)
+        mid = (1,) * (C0.ndim - 3)
+        out = None
+        for i in range(op.g):
+            w = jnp.broadcast_to(
+                op.pts[i].reshape((lvl,) + mid + (op.b, self.n)), C0.shape
+            )
+            inner = Ciphertext(
+                r.polydot(C0, w), r.polydot(C1, w),
+                lvl, ct.scale * op.scale,
+            )
+            if i:
+                gi, pair = op.giants[i - 1]
+                if self.mesh is not None:
+                    hg = r.hoisted_keyswitch(
+                        inner.c1, pair, (gi, gi), self.ext_ring(lvl), lvl
+                    )
+                else:
+                    hg = r.hoisted_keyswitch(
+                        inner.c1, pair, (gi, gi), self.ext_ring(lvl), lvl,
+                        ksk_domain="ntt",
+                    )
+                inner = Ciphertext(
+                    r.add(r.automorphism(inner.c0, gi), hg[0]), hg[1],
+                    lvl, inner.scale,
+                )
+            out = inner if out is None else self.add(out, inner)
+        return out

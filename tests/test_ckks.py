@@ -243,3 +243,52 @@ def test_linear_op_batched(ctx, keys, rng):
     got = dec(ctx, keys, ctx.rescale(ctx.apply_linear(ct, op)))
     want = sum(w[None] * np.roll(z, -t, axis=-1) for t, w in zip(steps, ws))
     np.testing.assert_allclose(got, want, atol=5 * TOL)
+
+
+# -- two-level BSGS matrix-vector product ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mv_keys(ctx):
+    steps = set(ctx.bsgs_steps()) | set(
+        ctx.bsgs_steps(bsgs=(16, SLOTS // 16))
+    )
+    return ctx.keygen(galois_steps=sorted(steps))
+
+
+def test_matvec_full_matrix(ctx, mv_keys, rng):
+    z = slots(rng)
+    M = (rng.uniform(-1, 1, (SLOTS, SLOTS))
+         + 1j * rng.uniform(-1, 1, (SLOTS, SLOTS))) / SLOTS
+    op = ctx.make_matvec(M, mv_keys, ctx.L)
+    ct = ctx.encrypt(ctx.encode(z), mv_keys)
+    got = dec(ctx, mv_keys, ctx.rescale(ctx.apply_matvec(ct, op)))
+    np.testing.assert_allclose(got, M @ z, atol=5 * TOL)
+
+
+def test_matvec_explicit_bsgs_split(ctx, mv_keys, rng):
+    # a split whose b divides neither S evenly nor matches the default —
+    # the zero-padded tail diagonals must not contribute
+    z = slots(rng)
+    M = np.diag(rng.uniform(-1, 1, SLOTS)) + 0j
+    b, g = 16, SLOTS // 16
+    op = ctx.make_matvec(M, mv_keys, ctx.L, bsgs=(b, g))
+    assert op.b == b and op.g == g
+    ct = ctx.encrypt(ctx.encode(z), mv_keys)
+    got = dec(ctx, mv_keys, ctx.rescale(ctx.apply_matvec(ct, op)))
+    np.testing.assert_allclose(got, M @ z, atol=5 * TOL)
+
+
+def test_matvec_at_lower_level(ctx, mv_keys, rng):
+    z = slots(rng)
+    M = np.eye(SLOTS, k=1) + np.eye(SLOTS, k=-(SLOTS - 1)) + 0j  # rot by 1
+    op = ctx.make_matvec(M, mv_keys, ctx.L - 1)
+    ct = ctx.mod_down_to(ctx.encrypt(ctx.encode(z), mv_keys), ctx.L - 1)
+    got = dec(ctx, mv_keys, ctx.rescale(ctx.apply_matvec(ct, op)))
+    np.testing.assert_allclose(got, np.roll(z, -1), atol=5 * TOL)
+
+
+def test_matvec_missing_key_raises(ctx, keys, rng):
+    M = np.eye(SLOTS) + 0j
+    with pytest.raises(KeyError, match="rotation key"):
+        ctx.make_matvec(M, keys, ctx.L)

@@ -106,3 +106,19 @@ def test_domain_mismatch_raises(base, mctx):
     op0 = ctx.make_linear_op([(1, np.ones(SLOTS) + 0j)], keys, ctx.L)
     with pytest.raises(ValueError, match="baked for domain"):
         mctx.apply_linear(mctx.place(ct1), op0)
+
+
+def test_matvec_matches(base, mctx):
+    ctx, keys, z, w, ct1, ct2 = base
+    bsgs = (16, SLOTS // 16)
+    mv_keys = ctx.keygen(galois_steps=ctx.bsgs_steps(bsgs=bsgs))
+    rng = np.random.default_rng(11)
+    M = (rng.uniform(-1, 1, (SLOTS, SLOTS)) + 0j) / SLOTS
+    ct = ctx.encrypt(ctx.encode(z), mv_keys)
+    op0 = ctx.make_matvec(M, mv_keys, ctx.L, bsgs=bsgs)
+    opm = mctx.make_matvec(M, mv_keys, ctx.L, bsgs=bsgs)
+    want = ctx.apply_matvec(ct, op0)
+    got = mctx.apply_matvec(mctx.place(ct), opm)
+    same(got, want)
+    dec = ctx.decode(ctx.decrypt(ctx.rescale(want), mv_keys))
+    np.testing.assert_allclose(dec, (M @ z.T).T, atol=5e-3)
