@@ -1166,6 +1166,22 @@ class RNSRing:
             self._jit_cache["rescale"] = fn
         return fn(x)
 
+    def rescale_bgv(self, x, t: int) -> jnp.ndarray:
+        """BGV modulus switch by the last prime: the t-multiple-correcting
+        divide (ops/basechange.rescale_bgv) — preserves the phase mod ``t``
+        up to the q_L^-1 factor the scheme layer tracks."""
+        from .ops import basechange
+
+        x = _as_u32(x)
+        self._check(x)
+        key = ("rescale_bgv", int(t))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            qs, tt = tuple(self.qs), int(t)
+            fn = jax.jit(lambda v: basechange.rescale_bgv(v, qs, tt))
+            self._jit_cache[key] = fn
+        return fn(x)
+
     def mod_down(self, x, count: int = 1) -> jnp.ndarray:
         """Iterated rescale: drop the last ``count`` primes, i.e. the exact
         centered round(x / prod(dropped)) residues — the post-key-switch
@@ -1189,11 +1205,15 @@ class RNSRing:
 
     def keyswitch(
         self, x, ksk, ext, dnum: int, *, correction: str = "float",
-        ksk_domain: str = "coeff",
+        ksk_domain: str = "coeff", plain_mod: Optional[int] = None,
     ) -> jnp.ndarray:
         """One-call hybrid key-switch: gadget-decompose ``x`` into ``dnum``
         digits, raise them into the extended basis ``ext``, dot against the
         key material, and ModDown back to this basis.
+
+        plain_mod: BGV plaintext modulus t — the ModDown then uses the
+        t-multiple correction (exactness mod t) instead of centered
+        rounding; requires key noise that is a t-multiple.
 
         x: (L, ..., n) residues in this ring's basis.
         ksk: key material generated in ``ext`` — (dnum, K, n) (shared
@@ -1238,12 +1258,18 @@ class RNSRing:
                 f"got {ksk.shape}"
             )
         key = ("keyswitch", qs_ext, int(dnum), correction, shared, x.ndim,
-               ksk_domain)
+               ksk_domain, plain_mod)
         fn = self._jit_cache.get(key)
         if fn is None:
             qs_src, d, corr = tuple(self.qs), int(dnum), correction
             gadget.gadget_groups(len(qs_src), d)  # validate eagerly
             spec = K - self.L
+            pm = None if plain_mod is None else int(plain_mod)
+
+            def down(prod):
+                if pm is None:
+                    return basechange.mod_down(prod, qs_ext, spec)
+                return basechange.mod_down_bgv(prod, qs_ext, pm, spec)
 
             if ksk_domain == "ntt":
                 erings = ext_ring.rings
@@ -1259,7 +1285,7 @@ class RNSRing:
                             (K, d) + (1,) * (fx.ndim - 3) + (self.n,)
                         )
                     prod = _evaldot_intt(erings, fx, kb, d)  # (K, ..., n)
-                    return basechange.mod_down(prod, qs_ext, spec)
+                    return down(prod)
 
             else:
 
@@ -1277,7 +1303,7 @@ class RNSRing:
                             dig.shape,
                         )
                     prod = ext_ring.polydot(dig, kb)  # (K, ..., n)
-                    return basechange.mod_down(prod, qs_ext, spec)
+                    return down(prod)
 
             fn = jax.jit(f)
             self._jit_cache[key] = fn
@@ -1307,7 +1333,7 @@ class RNSRing:
 
     def hoisted_keyswitch(
         self, x, ksks, ks, ext, dnum: int, *, correction: str = "float",
-        ksk_domain: str = "coeff",
+        ksk_domain: str = "coeff", plain_mod: Optional[int] = None,
     ) -> jnp.ndarray:
         """Hoisted (Halevi-Shoup) rotation batch: ONE gadget decomposition +
         ONE forward transform of the digits, shared by every Galois step.
@@ -1369,7 +1395,7 @@ class RNSRing:
             )
             self._ext_rings[qs_ext] = ext_ring
         key = ("hoisted_keyswitch", qs_ext, int(dnum), ks, correction, x.ndim,
-               ksk_domain)
+               ksk_domain, plain_mod)
         fn = self._jit_cache.get(key)
         if fn is None:
             qs_src, d, corr = tuple(self.qs), int(dnum), correction
@@ -1381,6 +1407,12 @@ class RNSRing:
             perms = [ext_ring.rings[0]._auto_tables(k)[2] for k in ks]
             erings = ext_ring.rings
             pre_ntt = ksk_domain == "ntt"
+            pm = None if plain_mod is None else int(plain_mod)
+
+            def down(prod):
+                if pm is None:
+                    return basechange.mod_down(prod, qs_ext, spec)
+                return basechange.mod_down_bgv(prod, qs_ext, pm, spec)
 
             def f(v, kk):
                 dig = gadget.gadget_decompose(
@@ -1397,7 +1429,7 @@ class RNSRing:
                         (K, d) + (1,) * mid + (self.n,)
                     )
                     prod = _evaldot_intt(erings, pd, kj, d)  # (K, ..., n)
-                    outs.append(basechange.mod_down(prod, qs_ext, spec))
+                    outs.append(down(prod))
                 return jnp.stack(outs, axis=0)
 
             fn = jax.jit(f)

@@ -154,6 +154,75 @@ def mod_down(x: jnp.ndarray, qs: Sequence[int], count: int = 1) -> jnp.ndarray:
     return x
 
 
+@functools.lru_cache(maxsize=64)
+def _rescale_bgv_tables(qs: tuple, t: int):
+    """Host tables for the t-correcting drop of q_L: Shoup pair for
+    t^-1 mod q_L, and per surviving channel — Barrett mu for reducing
+    u < q_L, Shoup pairs for [t]_{q_l}, [t*q_L]_{q_l}, q_L^-1 mod q_l."""
+    qL = qs[-1]
+    tinv = _shoup_pair(pow(t % qL, qL - 2, qL), qL)
+    out = []
+    for q in qs[:-1]:
+        mu = (1 << 32) // q
+        out.append((
+            np.uint32(mu),
+            _shoup_pair(t % q, q),
+            _shoup_pair((t * qL) % q, q),
+            _shoup_pair(pow(qL % q, q - 2, q), q),
+        ))
+    return tinv, out, qL
+
+
+def rescale_bgv(x: jnp.ndarray, qs: Sequence[int], t: int) -> jnp.ndarray:
+    """BGV modulus switch: drop q_L via the t-multiple correction.
+
+    out = (x - delta) / q_L with delta = t * centered([x_L * t^-1]_{q_L}),
+    so delta ≡ x (mod q_L) — the division is exact — AND delta ≡ 0
+    (mod t) — the phase mod t is preserved up to the q_L^-1 factor the
+    scheme layer tracks.  |delta| <= t*q_L/2, i.e. the additive noise is
+    ~t/2 after division (the BGV analog of rescale's 1/2).
+    (L, ..., n) -> (L-1, ..., n); inputs [0, q_l), outputs [0, q_l).
+    """
+    qs = tuple(int(q) for q in qs)
+    t = int(t)
+    if len(qs) < 2:
+        raise ValueError("rescale_bgv needs at least 2 primes")
+    (tw, tp), tabs, qL = _rescale_bgv_tables(qs, t)
+    u = cond_sub(
+        shoup_mulmod_lazy(x[-1], U32(int(tw)), U32(int(tp)), qL), qL
+    )  # [x_L * t^-1]_{q_L} in [0, q_L)
+    big = u > jnp.uint32(qL // 2)  # centered lift of u
+    outs = []
+    for l, (mu, (w_t, p_t), (w_tq, p_tq), (iw, ip)) in enumerate(tabs):
+        q = qs[l]
+        # Barrett: u mod q_l (u < q_L < 2^30, exact to [0, 2q))
+        m = mulhi_u32(u, U32(int(mu)))
+        ul = cond_sub(cond_sub(u - m * U32(q), 2 * q), q)
+        tu = cond_sub(shoup_mulmod_lazy(ul, U32(w_t), U32(p_t), q), q)
+        # centered: t*(u - qL) == t*u - [t*qL]_{q_l}  (mod q_l)
+        tu = jnp.where(big, sub_mod(tu, U32(int(w_tq)), q), tu)
+        diff = sub_mod(x[l], tu, q)
+        y = shoup_mulmod_lazy(diff, U32(int(iw)), U32(int(ip)), q)
+        outs.append(cond_sub(y, q))
+    return jnp.stack(outs, axis=0)
+
+
+def mod_down_bgv(
+    x: jnp.ndarray, qs: Sequence[int], t: int, count: int = 1
+) -> jnp.ndarray:
+    """Iterated t-correcting divide: the BGV ModDown after an extended-
+    basis key switch (key noise is a t-multiple, the correction keeps the
+    output noise one too).  (L, ..., n) -> (L-count, ..., n)."""
+    qs = tuple(int(q) for q in qs)
+    if not 1 <= count <= len(qs) - 1:
+        raise ValueError(
+            f"count must be in [1, L-1={len(qs) - 1}], got {count}"
+        )
+    for i in range(count):
+        x = rescale_bgv(x, qs[: len(qs) - i], t)
+    return x
+
+
 def rescale(x: jnp.ndarray, qs: Sequence[int]) -> jnp.ndarray:
     """Divide-and-round by the last prime: (L, ..., n) -> (L-1, ..., n).
 

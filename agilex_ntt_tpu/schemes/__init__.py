@@ -6,6 +6,7 @@ scheme on top — the workload the NTT exists to serve — so the framework is
 usable end to end on TPU.
 """
 
+from .bgv import BGVContext
 from .ckks import (
     CKKSContext,
     Ciphertext,
@@ -15,5 +16,5 @@ from .ckks import (
     Plaintext,
 )
 
-__all__ = ["CKKSContext", "Ciphertext", "KeySet", "LinearOp",
-           "MatVecOp", "Plaintext"]
+__all__ = ["BGVContext", "CKKSContext", "Ciphertext", "KeySet",
+           "LinearOp", "MatVecOp", "Plaintext"]

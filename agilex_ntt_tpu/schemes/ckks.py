@@ -193,6 +193,11 @@ class CKKSContext:
     """Leveled RNS-CKKS over Z[X]/(X^n + 1) with an L-prime chain Q and one
     special prime P (hybrid key switching, per-prime digits).
 
+    Also the base for :class:`~agilex_ntt_tpu.schemes.bgv.BGVContext`: the
+    ring/key/keyswitch machinery is scheme-agnostic apart from two hooks —
+    ``_noise_mul`` (BGV noise is t*e) and ``_ks_plain_mod`` (BGV ModDown
+    uses the t-multiple correction).
+
     Parameters
     ----------
     n:           ring degree (power of two); n/2 complex slots.
@@ -211,6 +216,9 @@ class CKKSContext:
                  decrypt stay host-driven on the base rings.
     ring_kwargs: forwarded to every RNSRing/Ring (backend/method/...).
     """
+
+    _noise_mul: int = 1        # every sampled error is multiplied by this
+    _ks_plain_mod: Optional[int] = None  # t-correcting ModDown when set
 
     def __init__(
         self,
@@ -338,9 +346,9 @@ class CKKSContext:
         )
 
     def _gauss_rns(self, qs: Sequence[int], shape) -> np.ndarray:
-        e = np.rint(self.rng.normal(0.0, self.error_std, shape)).astype(
-            np.int64
-        )
+        e = self._noise_mul * np.rint(
+            self.rng.normal(0.0, self.error_std, shape)
+        ).astype(np.int64)
         return np.stack([(e % q).astype(np.uint32) for q in qs], axis=0)
 
     def _ternary(self, shape) -> np.ndarray:
@@ -558,11 +566,17 @@ class CKKSContext:
         r = self.ring(level)
         ks = self._sliced_keys(pair, level)
         if self.mesh is not None:
+            if self._ks_plain_mod is not None:
+                raise NotImplementedError(
+                    "mesh-sharded BGV key switching is not wired up yet "
+                    "(sharded ModDown lacks the t-correction)"
+                )
             return r.hoisted_keyswitch(
                 x, ks, (g, g), self.ext_ring(level), level
             )
         return r.hoisted_keyswitch(
-            x, ks, (g, g), self.ext_ring(level), level, ksk_domain="ntt"
+            x, ks, (g, g), self.ext_ring(level), level, ksk_domain="ntt",
+            plain_mod=self._ks_plain_mod,
         )
 
     def _key_pair(self, keys: KeySet, g: Optional[int] = None):
@@ -578,8 +592,14 @@ class CKKSContext:
         self, a: Ciphertext, b: Ciphertext, keys: KeySet
     ) -> Ciphertext:
         """Tensor product + relinearization (Karatsuba: 3 polymuls; the
-        degree-2 term folds back through one hoisted two-half keyswitch)."""
-        r = self._aligned(a, b)
+        degree-2 term folds back through one hoisted two-half keyswitch).
+        Scales need not match — they multiply through (only add/sub
+        require alignment)."""
+        if a.level != b.level:
+            raise ValueError(
+                f"level mismatch {a.level} != {b.level}; mod_down_to first"
+            )
+        r = self.ring(a.level)
         d0 = r.polymul(a.c0, b.c0)
         d2 = r.polymul(a.c1, b.c1)
         cross = r.polymul(r.add(a.c0, a.c1), r.add(b.c0, b.c1))
