@@ -1439,7 +1439,7 @@ class RNSRing:
     def hoisted_linear_sum(
         self, c0, c1, pts, ksks_b, ksks_a, ks, ext, dnum: int, *,
         correction: str = "float", ksk_domain: str = "coeff",
-        pt_domain: str = "coeff",
+        pt_domain: str = "coeff", plain_mod: Optional[int] = None,
     ):
         """Fused BSGS linear transform: sum_j pt_j (*) tau_{k_j}(ct) over a
         ciphertext ct = (c0, c1), with the key-switch hoisted AND the ModDown
@@ -1524,7 +1524,7 @@ class RNSRing:
             )
             self._ext_rings[qs_ext] = ext_ring
         key = ("hoisted_linear_sum", qs_ext, int(dnum), ks, correction,
-               c0.ndim, ksk_domain, pt_domain)
+               c0.ndim, ksk_domain, pt_domain, plain_mod)
         fn = self._jit_cache.get(key)
         if fn is None:
             qs_src, d, corr = tuple(self.qs), int(dnum), correction
@@ -1539,6 +1539,12 @@ class RNSRing:
             pre_pt = pt_domain == "ntt"
             this = self
             n = self.n
+            pm = None if plain_mod is None else int(plain_mod)
+
+            def down(prod):
+                if pm is None:
+                    return basechange.mod_down(prod, qs_ext, spec)
+                return basechange.mod_down_bgv(prod, qs_ext, pm, spec)
 
             def f(v0, v1, pt, kb, ka):
                 dig = gadget.gadget_decompose(
@@ -1583,12 +1589,8 @@ class RNSRing:
                     s2 = r.n_inv * r.r2_mod_q % r.q
                     outB.append(r.intt(aB, scale=s2))
                     outA.append(r.intt(aA, scale=s2))
-                Bdn = basechange.mod_down(
-                    jnp.stack(outB, axis=0), qs_ext, spec
-                )
-                out1 = basechange.mod_down(
-                    jnp.stack(outA, axis=0), qs_ext, spec
-                )
+                Bdn = down(jnp.stack(outB, axis=0))
+                out1 = down(jnp.stack(outA, axis=0))
                 # c0 part on the base ring: one stray R^{-1} -> polymul_scale
                 out0 = []
                 for i, r in enumerate(brings):

@@ -70,6 +70,7 @@ class BGVContext(CKKSContext):
             raise ValueError("t must be disjoint from the ciphertext chain")
         self._noise_mul = self.t
         self._ks_plain_mod = self.t
+        self.delta = 1  # BGV has no encoding scale; factors default to 1
         # the plaintext ring: slot packing via this framework's own NTT
         self.tring = Ring(n, q=self.t)
         self._slot_pos = self._build_slot_positions()
@@ -117,6 +118,12 @@ class BGVContext(CKKSContext):
         modulus-switched ciphertext."""
         level = self.L if level is None else int(level)
         scale = Fraction(1) if scale is None else Fraction(scale)
+        m = self._slots_to_coeffs(mat)
+        rns = np.broadcast_to(m[None], (level,) + m.shape)
+        return Plaintext(jnp.asarray(rns.copy()), level, scale)
+
+    def _slots_to_coeffs(self, mat) -> np.ndarray:
+        """Slot matrix (..., 2, n/2) -> coefficients (..., n) in [0, t)."""
         mat = np.asarray(mat, dtype=np.int64) % self.t
         if mat.shape[-2:] != (2, self.n // 2):
             raise ValueError(
@@ -125,9 +132,7 @@ class BGVContext(CKKSContext):
         vals = np.zeros(mat.shape[:-2] + (self.n,), dtype=np.uint32)
         vals[..., self._slot_pos[0]] = mat[..., 0, :]
         vals[..., self._slot_pos[1]] = mat[..., 1, :]
-        m = np.asarray(self.tring.intt(vals))  # coefficients in [0, t)
-        rns = np.broadcast_to(m[None], (level,) + m.shape)
-        return Plaintext(jnp.asarray(rns.copy()), level, scale)
+        return np.asarray(self.tring.intt(vals))
 
     def decode(self, pt: Plaintext) -> np.ndarray:
         """Plaintext -> (..., 2, n/2) slot matrix mod t (exact)."""
@@ -159,19 +164,21 @@ class BGVContext(CKKSContext):
             ct.level - 1, ct.scale * q_last,
         )
 
+    # -- fused linear transforms -----------------------------------------------
+    # make_linear_op / apply_linear inherit: the weight encoder below packs
+    # slot matrices with the plaintext ring's own transform, and the
+    # _ks_plain_mod hook routes hoisted_linear_sum through the t-correcting
+    # ModDown — sum_j w_j (*) rot_j(ct) stays EXACT mod t.
+
+    def _encode_weights(self, w, scale, qs) -> np.ndarray:
+        if scale != 1:
+            raise ValueError(
+                f"BGV weights carry no scale (factor must be 1), got {scale}"
+            )
+        m = self._slots_to_coeffs(w)
+        return np.stack([(m % np.uint32(q)).astype(np.uint32) for q in qs])
+
     # -- not yet wired for BGV ----------------------------------------------------
-
-    def make_linear_op(self, *a, **k):
-        raise NotImplementedError(
-            "BGV fused linear transforms need a t-correcting "
-            "hoisted_linear_sum; compose rotate + mul_plain instead"
-        )
-
-    def apply_linear(self, *a, **k):
-        raise NotImplementedError(
-            "BGV fused linear transforms need a t-correcting "
-            "hoisted_linear_sum; compose rotate + mul_plain instead"
-        )
 
     def make_matvec(self, *a, **k):
         raise NotImplementedError(

@@ -696,10 +696,7 @@ class CKKSContext:
         gs, pts, kbs, kas = [], [], [], []
         for t, w in terms:
             g = self.galois_element(int(t))
-            m = encode_coeffs(w, self.n, scale)
-            pts.append(
-                np.stack([(m % q).astype(np.uint32) for q in ext.qs])
-            )
+            pts.append(self._encode_weights(w, scale, ext.qs))
             pair = self._key_pair(keys, g)
             if pair is None:
                 raise KeyError(
@@ -721,6 +718,12 @@ class CKKSContext:
             scale=scale,
             domain=domain,
         )
+
+    def _encode_weights(self, w, scale, qs) -> np.ndarray:
+        """Encode one weight vector as residues (len(qs), n) — the scheme-
+        specific half of make_linear_op/make_matvec."""
+        m = encode_coeffs(w, self.n, scale)
+        return np.stack([(m % q).astype(np.uint32) for q in qs])
 
     def apply_linear(self, ct: Ciphertext, op: LinearOp) -> Ciphertext:
         """sum_j pt_j (*) rot_j(ct) — one fused call (see make_linear_op)."""
@@ -745,6 +748,7 @@ class CKKSContext:
                 ct.c0, ct.c1, op.pts, op.kb, op.ka, op.gs,
                 self.ext_ring(ct.level), ct.level,
                 ksk_domain="ntt", pt_domain="ntt",
+                plain_mod=self._ks_plain_mod,
             )
         return Ciphertext(o0, o1, ct.level, ct.scale * op.scale)
 
@@ -794,7 +798,6 @@ class CKKSContext:
         if b * g < S:
             raise ValueError(f"bsgs {b}x{g} covers {b * g} < {S} diagonals")
         domain = "coeff" if self.mesh is not None else "ntt"
-        rows, cols = np.arange(S)[:, None], np.arange(S)[None, :]
         # diag_d[l] = M[l, (l+d) mod S]; pre-rotate by +i*b for the giant fold
         pts = np.zeros((g, level, b, self.n), dtype=np.uint32)
         qs_l = self.qs[:level]
@@ -804,9 +807,8 @@ class CKKSContext:
                 if d >= S:
                     continue
                 diag = M[np.arange(S), (np.arange(S) + d) % S]
-                m = encode_coeffs(np.roll(diag, i * b), self.n, scale)
-                pts[i, :, j] = np.stack(
-                    [(m % q).astype(np.uint32) for q in qs_l]
+                pts[i, :, j] = self._encode_weights(
+                    np.roll(diag, i * b), scale, qs_l
                 )
         baby_gs, ks, kb = [], [], []
         for j in range(1, b):
@@ -864,6 +866,7 @@ class CKKSContext:
                 hs = r.hoisted_keyswitch(
                     ct.c1, op.baby_ksks, op.baby_ks,
                     self.ext_ring(lvl), lvl, ksk_domain="ntt",
+                    plain_mod=self._ks_plain_mod,
                 )
             for t, gj in enumerate(op.baby_gs):
                 c0s.append(r.add(r.automorphism(ct.c0, gj), hs[2 * t]))
@@ -889,7 +892,7 @@ class CKKSContext:
                 else:
                     hg = r.hoisted_keyswitch(
                         inner.c1, pair, (gi, gi), self.ext_ring(lvl), lvl,
-                        ksk_domain="ntt",
+                        ksk_domain="ntt", plain_mod=self._ks_plain_mod,
                     )
                 inner = Ciphertext(
                     r.add(r.automorphism(inner.c0, gi), hg[0]), hg[1],

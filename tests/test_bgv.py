@@ -135,3 +135,18 @@ def test_batched_pipeline(ctx, keys, rng):
 def test_mesh_not_supported(ctx):
     with pytest.raises(NotImplementedError, match="sharded BGV"):
         BGVContext(N, mesh=object())
+
+
+def test_fused_linear_op_exact(ctx, keys, rng):
+    # sum_j w_j (*) rot_j(ct) through the t-correcting hoisted_linear_sum,
+    # exact vs the slotwise oracle
+    m = mat(ctx, rng)
+    steps = (0, 1, -1)
+    ws = [mat(ctx, rng) for _ in steps]
+    op = ctx.make_linear_op(list(zip(steps, ws)), keys, ctx.L)
+    ct = ctx.encrypt(ctx.encode(m), keys)
+    got = dec(ctx, keys, ctx.apply_linear(ct, op))
+    want = sum(
+        w * np.roll(m, -t, axis=-1) for t, w in zip(steps, ws)
+    ) % ctx.t
+    np.testing.assert_array_equal(got, want)

@@ -24,6 +24,7 @@ _EXAMPLES = [
     ("ckks_rns_toy.py", 900),      # big-int oracle convolutions dominate
     ("bsgs_matvec.py", 900),       # 9-term host-oracle linear map
     ("ckks_scheme.py", 600),       # first-class scheme API
+    ("bgv_exact.py", 600),         # exact-integer scheme API
 ]
 
 
