@@ -1182,6 +1182,25 @@ class RNSRing:
             self._jit_cache[key] = fn
         return fn(x)
 
+    def mod_down_bgv(self, x, t: int, count: int = 1) -> jnp.ndarray:
+        """Iterated t-correcting divide: the BGV ModDown (see
+        ops/basechange.mod_down_bgv).  (L, ..., n) -> (L-count, ..., n)."""
+        from .ops import basechange
+
+        x = _as_u32(x)
+        self._check(x)
+        key = ("mod_down_bgv", int(t), int(count))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            qs, tt, c = tuple(self.qs), int(t), int(count)
+            if not 1 <= c <= len(qs) - 1:
+                raise ValueError(
+                    f"count must be in [1, {len(qs) - 1}], got {c}"
+                )
+            fn = jax.jit(lambda v: basechange.mod_down_bgv(v, qs, tt, c))
+            self._jit_cache[key] = fn
+        return fn(x)
+
     def mod_down(self, x, count: int = 1) -> jnp.ndarray:
         """Iterated rescale: drop the last ``count`` primes, i.e. the exact
         centered round(x / prod(dropped)) residues — the post-key-switch

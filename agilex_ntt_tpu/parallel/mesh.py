@@ -976,6 +976,24 @@ class ShardedRNSRing:
             lambda v: self.rns.mod_down(v, count),
         )
 
+    def rescale_bgv(self, x, t: int) -> jnp.ndarray:
+        """BGV t-correcting modulus switch on the mesh (see
+        RNSRing.rescale_bgv)."""
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        return self._mixing_op(
+            ("rescale_bgv", int(t)), x,
+            lambda v: self.rns.rescale_bgv(v, t),
+        )
+
+    def mod_down_bgv(self, x, t: int, count: int = 1) -> jnp.ndarray:
+        """Iterated t-correcting divide on the mesh (see
+        RNSRing.mod_down_bgv)."""
+        x = jnp.asarray(x, dtype=jnp.uint32)
+        return self._mixing_op(
+            ("mod_down_bgv", int(t), int(count)), x,
+            lambda v: self.rns.mod_down_bgv(v, t, count),
+        )
+
     def _sharded_ext(self, qs_ext: tuple, ext) -> "ShardedRNSRing":
         """The extended-basis ring, sharded like this one (dp/sp; channel
         axis replicated — K generally does not divide the ch axis), cached
@@ -998,7 +1016,8 @@ class ShardedRNSRing:
         return sext
 
     def hoisted_keyswitch(
-        self, x, ksks, ks, ext, dnum: int, *, correction: str = "float"
+        self, x, ksks, ks, ext, dnum: int, *, correction: str = "float",
+        plain_mod: Optional[int] = None,
     ) -> jnp.ndarray:
         """Hoisted rotation batch on the mesh (see
         RNSRing.hoisted_keyswitch): ONE sharded gadget decomposition (the
@@ -1045,12 +1064,17 @@ class ShardedRNSRing:
                 jnp.moveaxis(ksks[j], 0, -2)[:, None], dig_k.shape
             )
             prod = sext.polydot(sext.shard(dig_k), sext.shard(kb))
-            outs.append(sext.mod_down(prod, count=K - L))
+            if plain_mod is None:
+                outs.append(sext.mod_down(prod, count=K - L))
+            else:
+                outs.append(
+                    sext.mod_down_bgv(prod, plain_mod, count=K - L)
+                )
         return jnp.stack(outs, axis=0)
 
     def hoisted_linear_sum(
         self, c0, c1, pts, ksks_b, ksks_a, ks, ext, dnum: int, *,
-        correction: str = "float",
+        correction: str = "float", plain_mod: Optional[int] = None,
     ):
         """BSGS linear transform on the mesh (see RNSRing.hoisted_linear_sum):
         sum_j pt_j (*) tau_{k_j}(ct) with ONE sharded gadget decomposition
@@ -1123,12 +1147,18 @@ class ShardedRNSRing:
             )
             tc = self.polymul(ptl, tau_c0)
             c0sum = tc if c0sum is None else self.rns.add(c0sum, tc)
-        out0 = self.rns.add(c0sum, sext.mod_down(accB, count=K - L))
-        out1 = sext.mod_down(accA, count=K - L)
+        if plain_mod is None:
+            bdn = sext.mod_down(accB, count=K - L)
+            out1 = sext.mod_down(accA, count=K - L)
+        else:
+            bdn = sext.mod_down_bgv(accB, plain_mod, count=K - L)
+            out1 = sext.mod_down_bgv(accA, plain_mod, count=K - L)
+        out0 = self.rns.add(c0sum, bdn)
         return out0, out1
 
     def keyswitch(
-        self, x, ksk, ext, dnum: int, *, correction: str = "float"
+        self, x, ksk, ext, dnum: int, *, correction: str = "float",
+        plain_mod: Optional[int] = None,
     ) -> jnp.ndarray:
         """Hybrid key-switch on the mesh (see RNSRing.keyswitch): sharded
         gadget digits -> sharded polydot in the extended basis -> sharded
@@ -1159,7 +1189,9 @@ class ShardedRNSRing:
         else:
             kb = jnp.moveaxis(ksk, 0, -2)
         prod = sext.polydot(sext.shard(dig), sext.shard(kb))
-        return sext.mod_down(prod, count=K - L)
+        if plain_mod is None:
+            return sext.mod_down(prod, count=K - L)
+        return sext.mod_down_bgv(prod, plain_mod, count=K - L)
 
     def gadget_decompose(
         self, x, dst, dnum: int, *, correction: str = "float"

@@ -57,11 +57,6 @@ class BGVContext(CKKSContext):
         t_bits: int = 16,
         **kwargs,
     ):
-        if kwargs.get("mesh") is not None:
-            raise NotImplementedError(
-                "mesh-sharded BGV is not wired up yet (sharded ModDown "
-                "lacks the t-correction)"
-            )
         super().__init__(n, num_primes, **kwargs)
         self.t = int(t) if t is not None else find_primes(n, 1, bits=t_bits)[0]
         if (self.t - 1) % (2 * n):

@@ -566,13 +566,9 @@ class CKKSContext:
         r = self.ring(level)
         ks = self._sliced_keys(pair, level)
         if self.mesh is not None:
-            if self._ks_plain_mod is not None:
-                raise NotImplementedError(
-                    "mesh-sharded BGV key switching is not wired up yet "
-                    "(sharded ModDown lacks the t-correction)"
-                )
             return r.hoisted_keyswitch(
-                x, ks, (g, g), self.ext_ring(level), level
+                x, ks, (g, g), self.ext_ring(level), level,
+                plain_mod=self._ks_plain_mod,
             )
         return r.hoisted_keyswitch(
             x, ks, (g, g), self.ext_ring(level), level, ksk_domain="ntt",
@@ -742,6 +738,7 @@ class CKKSContext:
             o0, o1 = r.hoisted_linear_sum(
                 ct.c0, ct.c1, op.pts, op.kb, op.ka, op.gs,
                 self.ext_ring(ct.level), ct.level,
+                plain_mod=self._ks_plain_mod,
             )
         else:
             o0, o1 = r.hoisted_linear_sum(
@@ -861,6 +858,7 @@ class CKKSContext:
                 hs = r.hoisted_keyswitch(
                     ct.c1, op.baby_ksks, op.baby_ks,
                     self.ext_ring(lvl), lvl,
+                    plain_mod=self._ks_plain_mod,
                 )
             else:
                 hs = r.hoisted_keyswitch(
@@ -887,7 +885,8 @@ class CKKSContext:
                 gi, pair = op.giants[i - 1]
                 if self.mesh is not None:
                     hg = r.hoisted_keyswitch(
-                        inner.c1, pair, (gi, gi), self.ext_ring(lvl), lvl
+                        inner.c1, pair, (gi, gi), self.ext_ring(lvl), lvl,
+                        plain_mod=self._ks_plain_mod,
                     )
                 else:
                     hg = r.hoisted_keyswitch(

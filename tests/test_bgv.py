@@ -132,9 +132,36 @@ def test_batched_pipeline(ctx, keys, rng):
     np.testing.assert_array_equal(dec(ctx, keys, out), (m1 * m2) % ctx.t)
 
 
-def test_mesh_not_supported(ctx):
-    with pytest.raises(NotImplementedError, match="sharded BGV"):
-        BGVContext(N, mesh=object())
+def test_mesh_sharded_matches_single_chip(ctx, keys, rng):
+    # every evaluator op through ShardedRNSRing with the t-correcting
+    # ModDown: byte-equal to the single-chip path, still exact
+    from agilex_ntt_tpu.parallel import make_mesh
+
+    mctx = BGVContext(N, num_primes=3, mesh=make_mesh(dp=4))
+    m1, m2 = mat(ctx, rng, (4,)), mat(ctx, rng, (4,))
+    c1 = ctx.encrypt(ctx.encode(m1), keys)
+    c2 = ctx.encrypt(ctx.encode(m2), keys)
+    want = ctx.rescale(ctx.multiply(c1, c2, keys))
+    got = mctx.rescale(
+        mctx.multiply(mctx.place(c1), mctx.place(c2), keys)
+    )
+    np.testing.assert_array_equal(np.asarray(got.c0), np.asarray(want.c0))
+    np.testing.assert_array_equal(np.asarray(got.c1), np.asarray(want.c1))
+    assert got.scale == want.scale
+    np.testing.assert_array_equal(dec(ctx, keys, got), (m1 * m2) % ctx.t)
+    rot_w = ctx.rotate(c1, 1, keys)
+    rot_g = mctx.rotate(mctx.place(c1), 1, keys)
+    np.testing.assert_array_equal(
+        np.asarray(rot_g.c0), np.asarray(rot_w.c0)
+    )
+    ws = [mat(ctx, rng) for _ in (0, 1)]
+    terms = list(zip((0, 1), ws))
+    opm = mctx.make_linear_op(terms, keys, ctx.L)
+    op0 = ctx.make_linear_op(terms, keys, ctx.L)
+    lw = ctx.apply_linear(c1, op0)
+    lg = mctx.apply_linear(mctx.place(c1), opm)
+    np.testing.assert_array_equal(np.asarray(lg.c0), np.asarray(lw.c0))
+    np.testing.assert_array_equal(np.asarray(lg.c1), np.asarray(lw.c1))
 
 
 def test_fused_linear_op_exact(ctx, keys, rng):

@@ -248,30 +248,49 @@ def test_linear_op_batched(ctx, keys, rng):
 # -- two-level BSGS matrix-vector product ----------------------------------------
 
 
+# matvec tests run on a smaller ring: the baked op's baby-step hoisted
+# keyswitch is the largest jit graph in the suite, and at N=256 its XLA
+# CPU compile has (flakily) segfaulted inside backend_compile on the
+# 1-CPU CI box; N=128 halves the graph and the coverage is identical
+MN = 128
+MSLOTS = MN // 2
+
+
 @pytest.fixture(scope="module")
-def mv_keys(ctx):
-    steps = set(ctx.bsgs_steps()) | set(
-        ctx.bsgs_steps(bsgs=(16, SLOTS // 16))
+def mv_ctx():
+    return CKKSContext(MN, num_primes=3, rng=np.random.default_rng(7))
+
+
+@pytest.fixture(scope="module")
+def mv_keys(mv_ctx):
+    steps = set(mv_ctx.bsgs_steps()) | set(
+        mv_ctx.bsgs_steps(bsgs=(16, MSLOTS // 16))
     )
-    return ctx.keygen(galois_steps=sorted(steps))
+    return mv_ctx.keygen(galois_steps=sorted(steps))
 
 
-def test_matvec_full_matrix(ctx, mv_keys, rng):
-    z = slots(rng)
-    M = (rng.uniform(-1, 1, (SLOTS, SLOTS))
-         + 1j * rng.uniform(-1, 1, (SLOTS, SLOTS))) / SLOTS
+def mslots(rng, shape=(MSLOTS,)):
+    return rng.uniform(-1, 1, shape) + 1j * rng.uniform(-1, 1, shape)
+
+
+def test_matvec_full_matrix(mv_ctx, mv_keys, rng):
+    ctx = mv_ctx
+    z = mslots(rng)
+    M = (rng.uniform(-1, 1, (MSLOTS, MSLOTS))
+         + 1j * rng.uniform(-1, 1, (MSLOTS, MSLOTS))) / MSLOTS
     op = ctx.make_matvec(M, mv_keys, ctx.L)
     ct = ctx.encrypt(ctx.encode(z), mv_keys)
     got = dec(ctx, mv_keys, ctx.rescale(ctx.apply_matvec(ct, op)))
     np.testing.assert_allclose(got, M @ z, atol=5 * TOL)
 
 
-def test_matvec_explicit_bsgs_split(ctx, mv_keys, rng):
-    # a split whose b divides neither S evenly nor matches the default —
-    # the zero-padded tail diagonals must not contribute
-    z = slots(rng)
-    M = np.diag(rng.uniform(-1, 1, SLOTS)) + 0j
-    b, g = 16, SLOTS // 16
+def test_matvec_explicit_bsgs_split(mv_ctx, mv_keys, rng):
+    # a split that differs from the default — the zero-padded tail
+    # diagonals must not contribute
+    ctx = mv_ctx
+    z = mslots(rng)
+    M = np.diag(rng.uniform(-1, 1, MSLOTS)) + 0j
+    b, g = 16, MSLOTS // 16
     op = ctx.make_matvec(M, mv_keys, ctx.L, bsgs=(b, g))
     assert op.b == b and op.g == g
     ct = ctx.encrypt(ctx.encode(z), mv_keys)
@@ -279,9 +298,10 @@ def test_matvec_explicit_bsgs_split(ctx, mv_keys, rng):
     np.testing.assert_allclose(got, M @ z, atol=5 * TOL)
 
 
-def test_matvec_at_lower_level(ctx, mv_keys, rng):
-    z = slots(rng)
-    M = np.eye(SLOTS, k=1) + np.eye(SLOTS, k=-(SLOTS - 1)) + 0j  # rot by 1
+def test_matvec_at_lower_level(mv_ctx, mv_keys, rng):
+    ctx = mv_ctx
+    z = mslots(rng)
+    M = np.eye(MSLOTS, k=1) + np.eye(MSLOTS, k=-(MSLOTS - 1)) + 0j
     op = ctx.make_matvec(M, mv_keys, ctx.L - 1)
     ct = ctx.mod_down_to(ctx.encrypt(ctx.encode(z), mv_keys), ctx.L - 1)
     got = dec(ctx, mv_keys, ctx.rescale(ctx.apply_matvec(ct, op)))
