@@ -453,6 +453,66 @@ class Ring:
     def _pointwise_lazy_expr(self, a, b) -> jnp.ndarray:
         return mont_mul_lazy(_as_u32(a), _as_u32(b), self.q, self.qinv_neg)
 
+    def tensor(self, a0, a1, b0, b1):
+        """RLWE tensor product (d0, d1, d2) = (a0 b0, a0 b1 + a1 b0, a1 b1)
+        in ONE dispatch with 4 forward + 3 inverse transforms.
+
+        Karatsuba in the evaluation domain: the cross term is
+        (A0+A1)(B0+B1) - D0 - D2 computed on the transforms, so each
+        ciphertext part is transformed once (a composed 3-polymul tensor
+        pays 6 forward passes and 3 dispatches).  The scheme layer's
+        ciphertext multiply sits on this.  No reference analog (the
+        reference stops at the transform layer)."""
+
+        def build():
+            def f(x0, x1, y0, y1):
+                fa0, fa1 = self.ntt(x0), self.ntt(x1)
+                fb0, fb1 = self.ntt(y0), self.ntt(y1)
+                sa = cond_sub(fa0 + fa1, self.q)
+                sb = cond_sub(fb0 + fb1, self.q)
+                d0 = cond_sub(self._pointwise_lazy_expr(fa0, fb0), self.q)
+                d2 = cond_sub(self._pointwise_lazy_expr(fa1, fb1), self.q)
+                cr = cond_sub(self._pointwise_lazy_expr(sa, sb), self.q)
+                qq = U32(self.q)
+                d1 = cond_sub(cond_sub(cr - d0 + qq, self.q) - d2 + qq,
+                              self.q)
+                # every term carries one stray R^-1 from the lazy Hadamard;
+                # polymul_scale (= n^-1 * R) folds it into the inverse
+                sc = self.polymul_scale
+                return (
+                    self.intt(d0, scale=sc),
+                    self.intt(d1, scale=sc),
+                    self.intt(d2, scale=sc),
+                )
+
+            return f
+
+        return self._jitted("tensor", build)(
+            _as_u32(a0), _as_u32(a1), _as_u32(b0), _as_u32(b1)
+        )
+
+    def tensor_square(self, a0, a1):
+        """Tensor square (a0^2, 2 a0 a1, a1^2): 2 forward + 3 inverse
+        transforms, one dispatch (see ``tensor``)."""
+
+        def build():
+            def f(x0, x1):
+                fa0, fa1 = self.ntt(x0), self.ntt(x1)
+                d0 = cond_sub(self._pointwise_lazy_expr(fa0, fa0), self.q)
+                d2 = cond_sub(self._pointwise_lazy_expr(fa1, fa1), self.q)
+                x = cond_sub(self._pointwise_lazy_expr(fa0, fa1), self.q)
+                d1 = cond_sub(x + x, self.q)
+                sc = self.polymul_scale
+                return (
+                    self.intt(d0, scale=sc),
+                    self.intt(d1, scale=sc),
+                    self.intt(d2, scale=sc),
+                )
+
+            return f
+
+        return self._jitted("tensor_sq", build)(_as_u32(a0), _as_u32(a1))
+
     def pointwise_mul_lazy(self, a, b) -> jnp.ndarray:
         """Elementwise a*b*2^-32 mod q in [0, 2q) (NTT-domain Hadamard)."""
         fn = self._jitted("pw_lazy", lambda: self._pointwise_lazy_expr)
@@ -1036,6 +1096,54 @@ class RNSRing:
 
     def neg(self, a) -> jnp.ndarray:
         return self._map("neg", jnp.asarray(a))
+
+    def tensor(self, a0, a1, b0, b1):
+        """Per-channel RLWE tensor product (see Ring.tensor): ONE jitted
+        dispatch over all L channels, 4 forward + 3 inverse transforms per
+        channel instead of the composed form's 6 + 3."""
+        arrs = tuple(_as_u32(v) for v in (a0, a1, b0, b1))
+        for v in arrs:
+            self._check(v)
+        fn = self._jit_cache.get("tensor")
+        if fn is None:
+            rings = self.rings
+
+            def stacked(x0, x1, y0, y1):
+                outs = [
+                    r.tensor(x0[i], x1[i], y0[i], y1[i])
+                    for i, r in enumerate(rings)
+                ]
+                return tuple(
+                    jnp.stack([o[j] for o in outs], axis=0)
+                    for j in range(3)
+                )
+
+            fn = jax.jit(stacked)
+            self._jit_cache["tensor"] = fn
+        return fn(*arrs)
+
+    def tensor_square(self, a0, a1):
+        """Per-channel tensor square (see Ring.tensor_square)."""
+        a0, a1 = _as_u32(a0), _as_u32(a1)
+        self._check(a0)
+        self._check(a1)
+        fn = self._jit_cache.get("tensor_sq")
+        if fn is None:
+            rings = self.rings
+
+            def stacked(x0, x1):
+                outs = [
+                    r.tensor_square(x0[i], x1[i])
+                    for i, r in enumerate(rings)
+                ]
+                return tuple(
+                    jnp.stack([o[j] for o in outs], axis=0)
+                    for j in range(3)
+                )
+
+            fn = jax.jit(stacked)
+            self._jit_cache["tensor_sq"] = fn
+        return fn(a0, a1)
 
     def polydot(self, a, b) -> jnp.ndarray:
         """Per-channel fused inner product: shapes (L, ..., k, n)."""

@@ -596,10 +596,14 @@ class CKKSContext:
                 f"level mismatch {a.level} != {b.level}; mod_down_to first"
             )
         r = self.ring(a.level)
-        d0 = r.polymul(a.c0, b.c0)
-        d2 = r.polymul(a.c1, b.c1)
-        cross = r.polymul(r.add(a.c0, a.c1), r.add(b.c0, b.c1))
-        d1 = r.sub(r.sub(cross, d0), d2)
+        if self.mesh is None:
+            # fused tensor: 4 fwd + 3 inv transforms, one dispatch
+            d0, d1, d2 = r.tensor(a.c0, a.c1, b.c0, b.c1)
+        else:
+            d0 = r.polymul(a.c0, b.c0)
+            d2 = r.polymul(a.c1, b.c1)
+            cross = r.polymul(r.add(a.c0, a.c1), r.add(b.c0, b.c1))
+            d1 = r.sub(r.sub(cross, d0), d2)
         hs = self._keyswitch_pair(d2, self._key_pair(keys), a.level, 1)
         return Ciphertext(
             r.add(d0, hs[0]), r.add(d1, hs[1]), a.level, a.scale * b.scale
@@ -607,10 +611,14 @@ class CKKSContext:
 
     def square(self, a: Ciphertext, keys: KeySet) -> Ciphertext:
         r = self.ring(a.level)
-        d0 = r.polymul(a.c0, a.c0)
-        d2 = r.polymul(a.c1, a.c1)
-        x = r.polymul(a.c0, a.c1)
-        d1 = r.add(x, x)
+        if self.mesh is None:
+            # fused square: 2 fwd + 3 inv transforms, one dispatch
+            d0, d1, d2 = r.tensor_square(a.c0, a.c1)
+        else:
+            d0 = r.polymul(a.c0, a.c0)
+            d2 = r.polymul(a.c1, a.c1)
+            x = r.polymul(a.c0, a.c1)
+            d1 = r.add(x, x)
         hs = self._keyswitch_pair(d2, self._key_pair(keys), a.level, 1)
         return Ciphertext(
             r.add(d0, hs[0]), r.add(d1, hs[1]), a.level, a.scale * a.scale
