@@ -1097,6 +1097,62 @@ class RNSRing:
     def neg(self, a) -> jnp.ndarray:
         return self._map("neg", jnp.asarray(a))
 
+    def polydot_multi(self, a, ws_ntt):
+        """Multi-output fused inner product: out[j] = sum_k a_k (*) w_{j,k}
+        for g weight bundles, with ``a`` forward-transformed ONCE.
+
+        The giant-step core of the BSGS matvec: per giant step the baby
+        bundle is identical, so a per-step ``polydot`` would re-transform
+        it g times; here the k-entry bundle pays k forward transforms
+        total, each output only a pointwise dot + one inverse.
+
+        a:      (L, ..., k, n) coefficient-domain bundle.
+        ws_ntt: (L, g, k, n) EVALUATION-domain weights (pre-transform once
+                at bake time via ``ntt``).
+        Returns (g, L, ..., n); one jitted dispatch.
+        """
+        a, ws_ntt = _as_u32(a), _as_u32(ws_ntt)
+        self._check(a)
+        if a.ndim < 3:
+            raise ValueError(f"a must be (L, ..., k, n), got {a.shape}")
+        if (ws_ntt.ndim != 4 or ws_ntt.shape[0] != self.L
+                or ws_ntt.shape[2:] != a.shape[-2:]):
+            raise ValueError(
+                f"ws_ntt must be (L={self.L}, g, k={a.shape[-2]}, "
+                f"n={self.n}), got {ws_ntt.shape}"
+            )
+        key = ("polydot_multi", a.ndim, int(ws_ntt.shape[1]))
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            rings = self.rings
+            g = int(ws_ntt.shape[1])
+
+            def f(av, wv):
+                k = av.shape[-2]
+                outs = []
+                for i, r in enumerate(rings):
+                    fa = r.ntt(av[i])  # (..., k, n), exact [0, q)
+                    q, qi = r.q, r.qinv_neg
+                    two_q = U32(2 * r.q)
+                    per_g = []
+                    for j in range(g):
+                        w = wv[i, j].reshape(
+                            (1,) * (fa.ndim - 2) + av.shape[-2:]
+                        )
+                        t = mont_mul_lazy(fa, w, q, qi)  # [0, 2q)
+                        acc = t[..., 0, :]
+                        for kk in range(1, k):
+                            acc = cond_sub(acc + t[..., kk, :], two_q)
+                        # one stray R^-1 from the Montgomery dot: fold via
+                        # polymul_scale in the inverse (cf. Ring.polymul)
+                        per_g.append(r.intt(acc, scale=r.polymul_scale))
+                    outs.append(jnp.stack(per_g))  # (g, ..., n)
+                return jnp.stack(outs, axis=1)     # (g, L, ..., n)
+
+            fn = jax.jit(f)
+            self._jit_cache[key] = fn
+        return fn(a, ws_ntt)
+
     def tensor(self, a0, a1, b0, b1):
         """Per-channel RLWE tensor product (see Ring.tensor): ONE jitted
         dispatch over all L channels, 4 forward + 3 inverse transforms per

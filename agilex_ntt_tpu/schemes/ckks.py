@@ -168,7 +168,9 @@ class MatVecOp:
     baby_gs: Tuple[int, ...]        # galois elts for j = 1..b-1
     baby_ks: Tuple[int, ...]        # interleaved (g_j, g_j) hoisting plan
     baby_ksks: Optional[jnp.ndarray]   # (2(b-1), dnum_l, K_l, n)
-    pts: jnp.ndarray                # (g, level, b, n) encoded diagonals
+    pts: jnp.ndarray                # diagonals: domain "ntt" (off-mesh)
+                                    # = (level, g, b, n) eval domain;
+                                    # "coeff" (mesh) = (g, level, b, n)
     giants: Tuple[Tuple[int, jnp.ndarray], ...]  # (elt, sliced key pair)
     level: int
     scale: Fraction
@@ -838,10 +840,15 @@ class CKKSContext:
                     f"for bsgs_steps({S}, bsgs=({b}, {g}))"
                 )
             giants.append((gi, self._sliced_keys(pair, level)))
+        pts_dev = jnp.asarray(pts)
+        if domain == "ntt":
+            # eval-domain diagonals, transformed ONCE at bake: apply then
+            # pays a single polydot_multi (bundle transformed once) per part
+            pts_dev = self.base_ring(level).ntt(jnp.moveaxis(pts_dev, 0, 1))
         return MatVecOp(
             b=b, g=g, baby_gs=tuple(baby_gs), baby_ks=tuple(ks),
             baby_ksks=jnp.stack(kb) if kb else None,
-            pts=jnp.asarray(pts), giants=tuple(giants),
+            pts=pts_dev, giants=tuple(giants),
             level=level, scale=scale, domain=domain,
         )
 
@@ -880,15 +887,27 @@ class CKKSContext:
         C0 = jnp.stack(c0s, axis=-2)  # (level, ..., b, n)
         C1 = jnp.stack(c1s, axis=-2)
         mid = (1,) * (C0.ndim - 3)
+        if self.mesh is None:
+            # both parts through ONE polydot_multi: the baby bundle is
+            # forward-transformed once for ALL giant steps
+            X = jnp.stack([C0, C1], axis=1)  # (level, 2, ..., b, n)
+            inners = r.polydot_multi(X, op.pts)  # (g, level, 2, ..., n)
         out = None
         for i in range(op.g):
-            w = jnp.broadcast_to(
-                op.pts[i].reshape((lvl,) + mid + (op.b, self.n)), C0.shape
-            )
-            inner = Ciphertext(
-                r.polydot(C0, w), r.polydot(C1, w),
-                lvl, ct.scale * op.scale,
-            )
+            if self.mesh is None:
+                inner = Ciphertext(
+                    inners[i][:, 0], inners[i][:, 1],
+                    lvl, ct.scale * op.scale,
+                )
+            else:
+                w = jnp.broadcast_to(
+                    op.pts[i].reshape((lvl,) + mid + (op.b, self.n)),
+                    C0.shape,
+                )
+                inner = Ciphertext(
+                    r.polydot(C0, w), r.polydot(C1, w),
+                    lvl, ct.scale * op.scale,
+                )
             if i:
                 gi, pair = op.giants[i - 1]
                 if self.mesh is not None:

@@ -78,3 +78,20 @@ def test_rns_tensor_square_matches_tensor():
     w = [np.asarray(v) for v in r.tensor(a0, a1, a0, a1)]
     for gi, wi in zip(g, w):
         np.testing.assert_array_equal(gi, wi)
+
+
+def test_rns_polydot_multi_matches_per_output_polydot():
+    # out[j] = polydot(a, w_j): the fused multi-output form transforms the
+    # bundle once; must be bit-exact vs g separate polydot calls
+    r = RNSRing(256, num_primes=3)
+    rng = np.random.default_rng(7)
+    L, B, k, g, n = r.L, 2, 4, 3, 256
+    mx = min(r.qs)
+    a = rng.integers(0, mx, size=(L, B, k, n), dtype=np.uint32)
+    ws = rng.integers(0, mx, size=(L, g, k, n), dtype=np.uint32)
+    ws_ntt = np.asarray(r.ntt(ws))
+    got = np.asarray(r.polydot_multi(a, ws_ntt))  # (g, L, B, n)
+    for j in range(g):
+        wj = np.broadcast_to(ws[:, j][:, None], a.shape)
+        want = np.asarray(r.polydot(a, wj))
+        np.testing.assert_array_equal(got[j], want)
