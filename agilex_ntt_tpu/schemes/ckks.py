@@ -42,6 +42,7 @@ import math
 from fractions import Fraction
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -259,6 +260,7 @@ class CKKSContext:
         self._ext: Dict[int, RNSRing] = {}
         self._sharded: Dict[int, object] = {}
         self._key_slices: Dict[tuple, tuple] = {}
+        self._fused_cache: Dict[tuple, object] = {}
 
     # -- bases ------------------------------------------------------------
 
@@ -577,6 +579,18 @@ class CKKSContext:
             plain_mod=self._ks_plain_mod,
         )
 
+    def _fused(self, key, build):
+        """Scheme-level jit cache: whole evaluator ops (tensor + keyswitch
+        + adds) trace into ONE dispatch.  Built once per (op, level) —
+        never rebuild jax.jit in a call path (CLAUDE.md: 100x retrace
+        loss); key material rides as an argument so one compiled fn
+        serves every KeySet."""
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = jax.jit(build())
+            self._fused_cache[key] = fn
+        return fn
+
     def _key_pair(self, keys: KeySet, g: Optional[int] = None):
         """The (b, a) halves in the domain the active ring dispatch needs:
         relinearization key when ``g`` is None, else the rotation key."""
@@ -599,13 +613,30 @@ class CKKSContext:
             )
         r = self.ring(a.level)
         if self.mesh is None:
-            # fused tensor: 4 fwd + 3 inv transforms, one dispatch
-            d0, d1, d2 = r.tensor(a.c0, a.c1, b.c0, b.c1)
-        else:
-            d0 = r.polymul(a.c0, b.c0)
-            d2 = r.polymul(a.c1, b.c1)
-            cross = r.polymul(r.add(a.c0, a.c1), r.add(b.c0, b.c1))
-            d1 = r.sub(r.sub(cross, d0), d2)
+            # the WHOLE op — fused tensor (4 fwd + 3 inv), two-half
+            # hoisted relinearization, final adds — in one dispatch
+            lvl, ext, pm = a.level, self.ext_ring(a.level), self._ks_plain_mod
+
+            def build():
+                def f(a0, a1, b0, b1, karr):
+                    d0, d1, d2 = r.tensor(a0, a1, b0, b1)
+                    hs = r.hoisted_keyswitch(
+                        d2, karr, (1, 1), ext, lvl,
+                        ksk_domain="ntt", plain_mod=pm,
+                    )
+                    return r.add(d0, hs[0]), r.add(d1, hs[1])
+
+                return f
+
+            c0, c1 = self._fused(("mul", a.level), build)(
+                a.c0, a.c1, b.c0, b.c1,
+                self._sliced_keys(self._key_pair(keys), a.level),
+            )
+            return Ciphertext(c0, c1, a.level, a.scale * b.scale)
+        d0 = r.polymul(a.c0, b.c0)
+        d2 = r.polymul(a.c1, b.c1)
+        cross = r.polymul(r.add(a.c0, a.c1), r.add(b.c0, b.c1))
+        d1 = r.sub(r.sub(cross, d0), d2)
         hs = self._keyswitch_pair(d2, self._key_pair(keys), a.level, 1)
         return Ciphertext(
             r.add(d0, hs[0]), r.add(d1, hs[1]), a.level, a.scale * b.scale
@@ -614,13 +645,28 @@ class CKKSContext:
     def square(self, a: Ciphertext, keys: KeySet) -> Ciphertext:
         r = self.ring(a.level)
         if self.mesh is None:
-            # fused square: 2 fwd + 3 inv transforms, one dispatch
-            d0, d1, d2 = r.tensor_square(a.c0, a.c1)
-        else:
-            d0 = r.polymul(a.c0, a.c0)
-            d2 = r.polymul(a.c1, a.c1)
-            x = r.polymul(a.c0, a.c1)
-            d1 = r.add(x, x)
+            lvl, ext, pm = a.level, self.ext_ring(a.level), self._ks_plain_mod
+
+            def build():
+                def f(a0, a1, karr):
+                    d0, d1, d2 = r.tensor_square(a0, a1)
+                    hs = r.hoisted_keyswitch(
+                        d2, karr, (1, 1), ext, lvl,
+                        ksk_domain="ntt", plain_mod=pm,
+                    )
+                    return r.add(d0, hs[0]), r.add(d1, hs[1])
+
+                return f
+
+            c0, c1 = self._fused(("sq", a.level), build)(
+                a.c0, a.c1,
+                self._sliced_keys(self._key_pair(keys), a.level),
+            )
+            return Ciphertext(c0, c1, a.level, a.scale * a.scale)
+        d0 = r.polymul(a.c0, a.c0)
+        d2 = r.polymul(a.c1, a.c1)
+        x = r.polymul(a.c0, a.c1)
+        d1 = r.add(x, x)
         hs = self._keyswitch_pair(d2, self._key_pair(keys), a.level, 1)
         return Ciphertext(
             r.add(d0, hs[0]), r.add(d1, hs[1]), a.level, a.scale * a.scale
@@ -668,6 +714,24 @@ class CKKSContext:
                 "keygen(galois_steps=...)"
             )
         r = self.ring(ct.level)
+        if self.mesh is None:
+            lvl, ext, pm = ct.level, self.ext_ring(ct.level), \
+                self._ks_plain_mod
+
+            def build():
+                def f(c0, c1, karr):
+                    hs = r.hoisted_keyswitch(
+                        c1, karr, (g, g), ext, lvl,
+                        ksk_domain="ntt", plain_mod=pm,
+                    )
+                    return r.add(r.automorphism(c0, g), hs[0]), hs[1]
+
+                return f
+
+            c0, c1 = self._fused(("rot", g, ct.level), build)(
+                ct.c0, ct.c1, self._sliced_keys(pair, ct.level)
+            )
+            return Ciphertext(c0, c1, ct.level, ct.scale)
         hs = self._keyswitch_pair(ct.c1, pair, ct.level, g)
         return Ciphertext(
             r.add(r.automorphism(ct.c0, g), hs[0]), hs[1],
