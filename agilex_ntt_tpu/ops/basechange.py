@@ -124,6 +124,206 @@ def base_convert(
 
 
 @functools.lru_cache(maxsize=64)
+def _scale_round_tables(qs_src: tuple, qs_dst: tuple, t: int):
+    """Host tables for round(t*x/Q) into qs_dst (HPS scale-and-round).
+
+    Per source channel l: Shoup pair for (Q/q_l)^-1 mod q_l, and float32
+    constants t*2^15/q_l, t/q_l (for the hi/lo-split fractional sum).
+    Per (dst j, src l): Shoup pair for [t * q_l^-1]_{p_j}.
+    Per dst j: Shoup pair for [t * Q^-1]_{p_j} and a Barrett mu for
+    reducing the rounded fractional sum v < 2^21 mod p_j.
+    """
+    L, K = len(qs_src), len(qs_dst)
+    Q = 1
+    for q in qs_src:
+        Q *= q
+    qtilde = np.zeros((L, 2), dtype=np.uint32)
+    th = np.zeros(L, dtype=np.float32)
+    tl = np.zeros(L, dtype=np.float32)
+    for l, q in enumerate(qs_src):
+        qhat = Q // q
+        qtilde[l] = _shoup_pair(pow(qhat % q, q - 2, q), q)
+        th[l] = float(t) * float(1 << 15) / float(q)
+        tl[l] = float(t) / float(q)
+    tq = np.zeros((K, L, 2), dtype=np.uint32)
+    tQ = np.zeros((K, 2), dtype=np.uint32)
+    mu = np.zeros(K, dtype=np.uint32)
+    for j, p in enumerate(qs_dst):
+        for l, q in enumerate(qs_src):
+            tq[j, l] = _shoup_pair((t * pow(q % p, p - 2, p)) % p, p)
+        tQ[j] = _shoup_pair((t * pow(Q % p, p - 2, p)) % p, p)
+        mu[j] = (1 << 32) // p
+    return qtilde, th, tl, tq, tQ, mu
+
+
+def scale_round(
+    x_src: jnp.ndarray,
+    x_dst: jnp.ndarray,
+    qs_src: Sequence[int],
+    qs_dst: Sequence[int],
+    t: int,
+) -> jnp.ndarray:
+    """round(t * x / Q) mod each p_j — the BFV scale-invariant division.
+
+    ``x`` is one integer in [0, Q*P') held in the union basis
+    qs_src (+) qs_dst: ``x_src`` are its residues (L, ..., n) mod the Q
+    primes, ``x_dst`` its residues (K, ..., n) mod the target primes.
+    Every target prime must be coprime to Q (Q^-1 mod p_j exists), which
+    is why the output lands in the auxiliary basis only — convert back to
+    Q with :func:`base_convert_sk`.
+
+    HPS folding (u, the base-conversion overflow count, cancels exactly):
+
+        round(t x / Q) = t*(x - [x]_Q)/Q + round(t [x]_Q / Q)
+                       ≡ [t Q^-1]_p x_p - sum_l xt_l [t q_l^-1]_p + v  (mod p)
+        v = round(sum_l xt_l * t / q_l),   xt_l = [x_l (Q/q_l)^-1]_{q_l}
+
+    v is the only non-integer step: a float32 hi/lo-split sum whose worst-
+    case accumulation error (~2^-5 for L<=16, t<2^17) can flip the rounding
+    by ±1 in a narrow band — a ±1 additive noise term on the scaled result
+    (the HPS rounding-error term), never a correctness break.  The same v
+    is used for every target channel, so the outputs stay consistent
+    residues of ONE integer (what base_convert_sk needs).
+    """
+    qs_src = tuple(int(q) for q in qs_src)
+    qs_dst = tuple(int(q) for q in qs_dst)
+    qtilde, th, tl, tq, tQ, mu = _scale_round_tables(qs_src, qs_dst, int(t))
+
+    xts = []
+    v = None
+    for l, q in enumerate(qs_src):
+        xt = cond_sub(
+            shoup_mulmod_lazy(
+                x_src[l], U32(int(qtilde[l, 0])), U32(int(qtilde[l, 1])), q
+            ),
+            q,
+        )
+        xts.append(xt)
+        # fractional sum in float32: split xt into 15-bit halves so both
+        # products are exact up to the constants' own 2^-24 rounding
+        hi = (xt >> U32(15)).astype(jnp.float32)
+        lo = (xt & U32(0x7FFF)).astype(jnp.float32)
+        term = hi * th[l] + lo * tl[l]
+        v = term if v is None else v + term
+    v = jnp.rint(v).astype(jnp.uint32)  # < L * t < 2^21
+
+    outs = []
+    for j, p in enumerate(qs_dst):
+        acc = None
+        for l in range(len(qs_src)):
+            s = shoup_mulmod_lazy(
+                xts[l], U32(int(tq[j, l, 0])), U32(int(tq[j, l, 1])), p
+            )  # [0, 2p)
+            acc = s if acc is None else cond_sub(acc + s, 2 * p)
+        acc = cond_sub(cond_sub(acc, 2 * p), p)  # [0, p)
+        a = cond_sub(
+            shoup_mulmod_lazy(
+                x_dst[j], U32(int(tQ[j, 0])), U32(int(tQ[j, 1])), p
+            ),
+            p,
+        )
+        y = sub_mod(a, acc, p)
+        # v mod p via Barrett (v < 2^21 << p*2^2, one step reaches [0, 2p))
+        m = mulhi_u32(v, U32(int(mu[j])))
+        vr = cond_sub(cond_sub(v - m * U32(p), 2 * p), p)
+        outs.append(cond_sub(y + vr, p))
+    return jnp.stack(outs, axis=0)
+
+
+@functools.lru_cache(maxsize=64)
+def _sk_tables(qs_src: tuple, m_sk: int, qs_dst: tuple):
+    """Host tables for the Shenoy-Kumaresan exact conversion from
+    qs_src (+) {m_sk} to qs_dst: per l a Shoup pair for (B/b_l)^-1 mod
+    b_l; [(B/b_l)]_{m_sk} pairs and B^-1 mod m_sk; per (j, l)
+    [(B/b_l)]_{q_j} pairs and [B]_{q_j} pairs."""
+    L = len(qs_src)
+    B = 1
+    for b in qs_src:
+        B *= b
+    btilde = np.zeros((L, 2), dtype=np.uint32)
+    for l, b in enumerate(qs_src):
+        bhat = B // b
+        btilde[l] = _shoup_pair(pow(bhat % b, b - 2, b), b)
+    sk_mat = np.zeros((L, 2), dtype=np.uint32)
+    for l, b in enumerate(qs_src):
+        sk_mat[l] = _shoup_pair((B // b) % m_sk, m_sk)
+    binv_sk = _shoup_pair(pow(B % m_sk, m_sk - 2, m_sk), m_sk)
+    K = len(qs_dst)
+    mat = np.zeros((K, L, 2), dtype=np.uint32)
+    bmod = np.zeros((K, 2), dtype=np.uint32)
+    for j, p in enumerate(qs_dst):
+        for l, b in enumerate(qs_src):
+            mat[j, l] = _shoup_pair((B // b) % p, p)
+        bmod[j] = _shoup_pair(B % p, p)
+    return btilde, sk_mat, binv_sk, mat, bmod
+
+
+def base_convert_sk(
+    x: jnp.ndarray,
+    x_sk: jnp.ndarray,
+    qs_src: Sequence[int],
+    m_sk: int,
+    qs_dst: Sequence[int],
+) -> jnp.ndarray:
+    """EXACT base conversion via the Shenoy-Kumaresan redundant modulus.
+
+    ``x`` (L, ..., n) are the residues mod qs_src of an integer y with
+    0 <= y < B = prod(qs_src); ``x_sk`` (..., n) is the SAME integer's
+    residue mod the redundant prime m_sk (carried alongside through the
+    pipeline).  The classical approximate conversion yields y + e*B with
+    0 <= e < L; the m_sk channel pins e = [(approx_sk - x_sk) B^-1]_{m_sk}
+    exactly (e < L << m_sk), so the output is y mod q_j with NO float
+    band — this is how BEHZ closes its final B->Q conversion, and why the
+    BFV pipeline tensors over Q (+) B (+) {m_sk}.
+    """
+    qs_src = tuple(int(q) for q in qs_src)
+    qs_dst = tuple(int(q) for q in qs_dst)
+    m_sk = int(m_sk)
+    btilde, sk_mat, binv_sk, mat, bmod = _sk_tables(qs_src, m_sk, qs_dst)
+
+    yts = []
+    for l, b in enumerate(qs_src):
+        yt = shoup_mulmod_lazy(
+            x[l], U32(int(btilde[l, 0])), U32(int(btilde[l, 1])), b
+        )
+        yts.append(cond_sub(yt, b))
+
+    # overflow count e from the redundant channel
+    acc = None
+    for l in range(len(qs_src)):
+        s = shoup_mulmod_lazy(
+            yts[l], U32(int(sk_mat[l, 0])), U32(int(sk_mat[l, 1])), m_sk
+        )
+        acc = s if acc is None else cond_sub(acc + s, 2 * m_sk)
+    acc = cond_sub(cond_sub(acc, 2 * m_sk), m_sk)
+    diff = sub_mod(acc, x_sk, m_sk)
+    e = cond_sub(
+        shoup_mulmod_lazy(
+            diff, U32(int(binv_sk[0])), U32(int(binv_sk[1])), m_sk
+        ),
+        m_sk,
+    )  # the exact small integer e in [0, L)
+
+    outs = []
+    for j, p in enumerate(qs_dst):
+        acc = None
+        for l in range(len(qs_src)):
+            s = shoup_mulmod_lazy(
+                yts[l], U32(int(mat[j, l, 0])), U32(int(mat[j, l, 1])), p
+            )
+            acc = s if acc is None else cond_sub(acc + s, 2 * p)
+        acc = cond_sub(cond_sub(acc, 2 * p), p)
+        eb = cond_sub(
+            shoup_mulmod_lazy(
+                e, U32(int(bmod[j, 0])), U32(int(bmod[j, 1])), p
+            ),
+            p,
+        )
+        outs.append(sub_mod(acc, eb, p))
+    return jnp.stack(outs, axis=0)
+
+
+@functools.lru_cache(maxsize=64)
 def _rescale_tables(qs: tuple):
     """Host tables for dropping q_L: per surviving channel l — Barrett mu
     for reducing values < q_L mod q_l, [q_L]_{q_l}, q_L^-1 mod q_l."""

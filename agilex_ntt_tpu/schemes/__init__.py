@@ -6,6 +6,7 @@ scheme on top — the workload the NTT exists to serve — so the framework is
 usable end to end on TPU.
 """
 
+from .bfv import BFVContext
 from .bgv import BGVContext
 from .ckks import (
     CKKSContext,
@@ -16,5 +17,5 @@ from .ckks import (
     Plaintext,
 )
 
-__all__ = ["BGVContext", "CKKSContext", "Ciphertext", "KeySet",
-           "LinearOp", "MatVecOp", "Plaintext"]
+__all__ = ["BFVContext", "BGVContext", "CKKSContext", "Ciphertext",
+           "KeySet", "LinearOp", "MatVecOp", "Plaintext"]

@@ -173,16 +173,18 @@ class BGVContext(CKKSContext):
         m = self._slots_to_coeffs(w)
         return np.stack([(m % np.uint32(q)).astype(np.uint32) for q in qs])
 
-    # -- not yet wired for BGV ----------------------------------------------------
+    # -- BSGS matvec hooks ---------------------------------------------------
+    # make_matvec/apply_matvec inherit; the matrix is integer mod t and acts
+    # PER ROW: y_r = M @ z_r for both slot rows r (rotations shift each row
+    # cyclically, so the Halevi-Shoup diagonal structure is row-wise).
 
-    def make_matvec(self, *a, **k):
-        raise NotImplementedError(
-            "BGV matvec needs the t-aware encoder for diagonals; compose "
-            "rotate + mul_plain instead"
-        )
+    def _matvec_matrix(self, M) -> np.ndarray:
+        S = self.n // 2
+        M = np.asarray(M, dtype=np.int64) % self.t
+        if M.shape != (S, S):
+            raise ValueError(f"M must be ({S}, {S}) mod t, got {M.shape}")
+        return M
 
-    def apply_matvec(self, *a, **k):
-        raise NotImplementedError(
-            "BGV matvec needs the t-aware encoder for diagonals; compose "
-            "rotate + mul_plain instead"
-        )
+    def _diag_slots(self, v) -> np.ndarray:
+        # the same diagonal multiplies both rows (row-wise matvec)
+        return np.stack([v, v])

@@ -795,6 +795,20 @@ class CKKSContext:
         m = encode_coeffs(w, self.n, scale)
         return np.stack([(m % q).astype(np.uint32) for q in qs])
 
+    def _matvec_matrix(self, M) -> np.ndarray:
+        """Validate/canonicalize a matvec matrix (scheme hook): CKKS takes
+        a complex (n/2, n/2) matrix acting on the slot vector."""
+        S = self.n // 2
+        M = np.asarray(M, dtype=np.complex128)
+        if M.shape != (S, S):
+            raise ValueError(f"M must be ({S}, {S}), got {M.shape}")
+        return M
+
+    def _diag_slots(self, v) -> np.ndarray:
+        """Rotated diagonal -> the slot payload _encode_weights expects
+        (scheme hook): CKKS slots are the (n/2,) vector itself."""
+        return v
+
     def apply_linear(self, ct: Ciphertext, op: LinearOp) -> Ciphertext:
         """sum_j pt_j (*) rot_j(ct) — one fused call (see make_linear_op)."""
         if ct.level != op.level:
@@ -861,9 +875,7 @@ class CKKSContext:
         per-diagonal sum (the Halevi-Shoup recipe, PAPERS.md; the
         reference's transform is the inner kernel of exactly this op)."""
         S = self.n // 2
-        M = np.asarray(M, dtype=np.complex128)
-        if M.shape != (S, S):
-            raise ValueError(f"M must be ({S}, {S}), got {M.shape}")
+        M = self._matvec_matrix(M)
         scale = Fraction(self.delta) if scale is None else Fraction(scale)
         b, g = self.bsgs_split(S) if bsgs is None else bsgs
         if b * g < S:
@@ -879,7 +891,7 @@ class CKKSContext:
                     continue
                 diag = M[np.arange(S), (np.arange(S) + d) % S]
                 pts[i, :, j] = self._encode_weights(
-                    np.roll(diag, i * b), scale, qs_l
+                    self._diag_slots(np.roll(diag, i * b)), scale, qs_l
                 )
         baby_gs, ks, kb = [], [], []
         for j in range(1, b):

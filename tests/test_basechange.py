@@ -132,3 +132,61 @@ def test_sharded_base_convert_and_rescale_match_single_chip(rings):
     np.testing.assert_array_equal(
         np.asarray(srns.rescale(placed)), np.asarray(src.rescale(res))
     )
+
+
+# -- BFV primitives: HPS scale-and-round + Shenoy-Kumaresan exact convert --
+
+
+@pytest.fixture(scope="module")
+def bfv_bases():
+    n = 256
+    primes = find_primes(n, 8)
+    qs = tuple(primes[:3])          # Q
+    bs = tuple(primes[3:7])         # auxiliary base B
+    m_sk = primes[7]                # redundant modulus
+    return n, qs, bs, m_sk
+
+
+def test_scale_round_matches_bigint_rounding(bfv_bases):
+    from agilex_ntt_tpu.ops.basechange import scale_round
+
+    n, qs, bs, m_sk = bfv_bases
+    t = find_primes(n, 1, bits=16)[0]
+    Q = int(np.prod([int(q) for q in qs], dtype=object))
+    B = int(np.prod([int(b) for b in bs], dtype=object)) * m_sk
+    rng = np.random.default_rng(21)
+    # x spans the full union basis range [0, Q*B') like a tensor product
+    x = _random_bigints(rng, Q * B, (3, n))
+    x_src = np.stack([(x % q).astype(np.uint32) for q in qs])
+    dst = bs + (m_sk,)
+    x_dst = np.stack([(x % p).astype(np.uint32) for p in dst])
+    out = np.asarray(scale_round(x_src, x_dst, qs, dst, t))
+    want = (2 * t * x + Q) // (2 * Q)  # round(t*x/Q), exact big-int
+    for j, p in enumerate(dst):
+        diff = (out[j].astype(object) - want % p) % p
+        # the float32 fractional sum may round ±1 in a narrow band — the
+        # HPS noise term; anything else is a correctness break
+        diff = np.where(diff > p // 2, diff - p, diff)
+        assert np.abs(diff).max() <= 1
+        # and the offset must be IDENTICAL across channels (one integer)
+        if j == 0:
+            ref = diff
+        else:
+            np.testing.assert_array_equal(diff, ref)
+
+
+def test_base_convert_sk_is_exact(bfv_bases):
+    from agilex_ntt_tpu.ops.basechange import base_convert_sk
+
+    n, qs, bs, m_sk = bfv_bases
+    B = int(np.prod([int(b) for b in bs], dtype=object))
+    rng = np.random.default_rng(22)
+    y = _random_bigints(rng, B, (3, n))
+    # include the small values where the float-corrected convert can fail
+    y[0, :8] = np.arange(8)
+    y[0, 8:12] = [B - 1 - k for k in range(4)]
+    x = np.stack([(y % b).astype(np.uint32) for b in bs])
+    x_sk = (y % m_sk).astype(np.uint32)
+    out = np.asarray(base_convert_sk(x, x_sk, bs, m_sk, qs))
+    for j, q in enumerate(qs):
+        np.testing.assert_array_equal(out[j], (y % q).astype(np.uint32))
