@@ -60,6 +60,79 @@ def dump_hlo(fn: Callable, *args, **kwargs) -> str:
     return jax.jit(fn).lower(*args, **kwargs).compile().as_text()
 
 
+def _trace_per_call_seconds(tr: dict) -> float | None:
+    """Seconds-per-call from a loaded ``*.trace.json`` dict (pure parser).
+
+    Split out of ``device_time_profiled`` so the event-accounting rules can
+    be unit-tested against synthetic trace fixtures without a device
+    (``tests/test_report.py``).  The rules, each learned the hard way:
+
+    1. **Device pids only** — host-side events carry tunnel/dispatch jitter.
+    2. **Top-level events only.**  A TPU trace contains BOTH the module
+       event (``jit_fwd_ntt``) and its nested op events (``fwd_ntt.1``)
+       with identical or contained spans, on different tids of the same
+       device pid.  Summing every repeated name counts the same device
+       nanoseconds once per nesting level (the round-3 2.0x bug,
+       VERDICT.md round 3 weak-1; hardware-verified ratio 2.04).  An event
+       is kept iff no already-kept event on the same pid covers its whole
+       span; identical spans keep exactly one.
+    3. **Per-name normalization by CAPTURED count, not `iters`.**  Through
+       the tunnel the trailing executions can miss the stop_trace flush
+       (observed: 3 of 8 eager pallas calls captured), and different
+       executables can lose different counts — so each surviving name is
+       normalized by its own count, then summed.  This keeps
+       multi-executable paths (two-kernel four-step + its HBM relayout
+       copies) fully accounted, which dominant-name-only accounting (the
+       round-2 form) undercounted.
+    4. **Names seen once are per-chain, not per-call** (the scalar-readback
+       reduce/slice launches run once per chained run) and are excluded;
+       if nothing repeats (tiny iters / heavy flush loss) fall back to the
+       dominant event.
+    """
+    from collections import defaultdict
+
+    evs = tr.get("traceEvents", [])
+    device_pids = {
+        e["pid"]
+        for e in evs
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    if not device_pids:
+        return None
+    # Top-level filter: per device pid, sweep events by (start asc, dur
+    # desc); an event whose end falls at or before the running max end of
+    # already-kept events is covered by one of them (all kept events
+    # started no later than it) and is dropped.  Identical spans keep the
+    # first.  TPU device events nest cleanly, so "covered" == "nested".
+    by_pid: defaultdict[object, list] = defaultdict(list)
+    for e in evs:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            ts = float(e.get("ts", 0.0))
+            dur = float(e.get("dur", 0.0))
+            by_pid[e["pid"]].append((ts, -dur, e["name"]))
+    totals: defaultdict[str, list] = defaultdict(lambda: [0.0, 0])
+    for pid_events in by_pid.values():
+        pid_events.sort()
+        max_end = float("-inf")
+        for ts, neg_dur, name in pid_events:
+            end = ts - neg_dur
+            if end <= max_end:
+                continue  # covered by an earlier-starting kept event
+            max_end = end
+            t = totals[name]
+            t[0] += -neg_dur
+            t[1] += 1
+    if not totals:
+        return None
+    per_call = {n: t[0] / t[1] for n, t in totals.items() if t[1] > 1}
+    if not per_call:  # nothing repeated (tiny iters / heavy flush loss):
+        busy_us, count = max(totals.values(), key=lambda t: t[0])
+        return busy_us * 1e-6 / count
+    return sum(per_call.values()) * 1e-6
+
+
 def device_time_profiled(
     fn: Callable,
     x: jnp.ndarray,
@@ -68,12 +141,13 @@ def device_time_profiled(
 ) -> float | None:
     """True on-device seconds per call of y = fn(y), from a profiler trace.
 
-    Captures a ``jax.profiler`` trace of `iters` chained calls and sums the
-    device-side executor events (the dominant event name on the TPU
-    process).  This is ground truth where the wall-clock delta method
-    (``device_time``) is an estimator: host/tunnel jitter cannot contaminate
-    device timestamps.  Verified against the delta method on the v5e chip
-    (fwd NTT n=4096: 2.285 ms/call both ways, 2026-08-16).
+    Captures a ``jax.profiler`` trace of `iters` chained calls and accounts
+    the device-side events per the rules in ``_trace_per_call_seconds``
+    (top-level events only — nested module/op duplicates dedupe; per-name
+    captured-count normalization).  This is ground truth where the
+    wall-clock delta method (``device_time``) is an estimator: host/tunnel
+    jitter cannot contaminate device timestamps.  Cross-checked against the
+    delta method on the v5e chip (see BASELINE.md round-4 section).
 
     Returns None when no device-side events are captured (non-TPU platform
     or a profiler-less backend) — callers fall back to ``device_time``.
@@ -83,7 +157,6 @@ def device_time_profiled(
     import json
     import os
     import tempfile
-    from collections import defaultdict
 
     def run(k):
         v = x
@@ -110,44 +183,7 @@ def device_time_profiled(
             return None
         with gzip.open(traces[-1]) as f:
             tr = json.load(f)
-    evs = tr.get("traceEvents", [])
-    device_pids = {
-        e["pid"]
-        for e in evs
-        if e.get("ph") == "M"
-        and e.get("name") == "process_name"
-        and "TPU" in str(e.get("args", {}).get("name", ""))
-    }
-    if not device_pids:
-        return None
-    totals: defaultdict[str, list] = defaultdict(lambda: [0.0, 0])
-    for e in evs:
-        if e.get("ph") == "X" and e.get("pid") in device_pids:
-            t = totals[e["name"]]
-            t[0] += e.get("dur", 0.0)
-            t[1] += 1
-    if not totals:
-        return None
-    # Per-call time for each event name = its total duration / its own
-    # captured count.  Divide by the CAPTURED count, not `iters`: through
-    # the tunnel the trailing executions' trace events can miss the
-    # stop_trace flush (observed: 3 of 8 eager pallas calls captured),
-    # which would otherwise understate per-call time ~3x — and counts can
-    # differ per name, so each is normalized separately.
-    #
-    # A multi-executable computation (e.g. the two-kernel four-step path
-    # with its HBM relayout copies) shows several comparable-size names;
-    # summing only the dominant one would exclude the rest and overstate
-    # throughput.  Sum every name that repeats (count > 1): fn's
-    # executables run once per chained call, while the scalar-readback
-    # reduce/slice launches run once per chain and so are captured at most
-    # once — the count separates them structurally, with no size threshold
-    # that could misclassify small-but-real per-call copies.
-    per_call = {n: t[0] / t[1] for n, t in totals.items() if t[1] > 1}
-    if not per_call:  # nothing repeated (tiny iters / heavy flush loss):
-        busy_us, count = max(totals.values(), key=lambda t: t[0])
-        return busy_us * 1e-6 / count
-    return sum(per_call.values()) * 1e-6
+    return _trace_per_call_seconds(tr)
 
 
 def device_time(
