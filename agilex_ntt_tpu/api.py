@@ -1025,7 +1025,14 @@ class RNSRing:
             L, n = self.L, self.n
 
             def f(*arrs):
-                lead = arrs[0].shape[1:-1]
+                # numpy broadcasting over the lead (batch) dims, matching
+                # the stacked per-ring path (keygen multiplies a (K, dnum,
+                # n) noise block against a (K, 1, n) secret) — the fused
+                # kernels need materially equal shapes, so broadcast first
+                lead = jnp.broadcast_shapes(*(a.shape[1:-1] for a in arrs))
+                arrs = [
+                    jnp.broadcast_to(a, (L,) + lead + (n,)) for a in arrs
+                ]
                 b = int(np.prod(lead, dtype=np.int64)) if lead else 1
                 flats = [a.reshape(L, b, n) for a in arrs]
                 pad = (-b) % 8

@@ -140,15 +140,43 @@ def _dev_inv_scale(plan):
     return _dev_inv_scale_cached(plan)
 
 
+# comm="overlap": split the local batch into independent chunks inside the
+# shard_map body.  Each chunk's column pass -> all-to-all -> scale ->
+# all-to-all -> row pass is a dataflow-independent chain, so XLA's async
+# collective scheduler overlaps chunk c's all-to-all (ICI) with chunk c±1's
+# transform compute (VPU) — the compiler-scheduled twin of the Pallas RDMA
+# overlap in parallel/overlap.py (which owns the per-stage exchange of the
+# "stage" method).  Bit-identical: transforms are row-independent.
+_OVERLAP_CHUNKS = 4
+
+
+def _chunked(body_fn, x, *tabs):
+    b = x.shape[0]
+    nch = _OVERLAP_CHUNKS
+    while nch > 1 and b % nch:
+        nch //= 2
+    if nch == 1:
+        return body_fn(x, *tabs)
+    step = b // nch
+    outs = [
+        body_fn(lax.slice_in_dim(x, c * step, (c + 1) * step, axis=0), *tabs)
+        for c in range(nch)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
 # cached jitted shard_map wrappers (plan/Mesh are hashable; rebuilding
 # jax.jit per call would recompile every invocation)
 @functools.lru_cache(maxsize=256)
-def _fwd_fn(plan, mesh, axis, dp_axis, backend, interpret, block_rows):
+def _fwd_fn(plan, mesh, axis, dp_axis, backend, interpret, block_rows,
+            comm="ppermute"):
     in_specs, out_spec = _specs(dp_axis, axis)
     body = functools.partial(
         _fwd_body, axis=axis, plan=plan, num_devices=mesh.shape[axis],
         backend=backend, interpret=interpret, block_rows=block_rows,
     )
+    if comm == "overlap":
+        body = functools.partial(_chunked, body)
     return jax.jit(
         jax.shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
@@ -158,13 +186,16 @@ def _fwd_fn(plan, mesh, axis, dp_axis, backend, interpret, block_rows):
 
 
 @functools.lru_cache(maxsize=256)
-def _inv_fn(plan, mesh, axis, dp_axis, scale, backend, interpret, block_rows):
+def _inv_fn(plan, mesh, axis, dp_axis, scale, backend, interpret, block_rows,
+            comm="ppermute"):
     in_specs, out_spec = _specs(dp_axis, axis)
     body = functools.partial(
         _inv_body, axis=axis, plan=plan, num_devices=mesh.shape[axis],
         scale=scale, backend=backend, interpret=interpret,
         block_rows=block_rows,
     )
+    if comm == "overlap":
+        body = functools.partial(_chunked, body)
     return jax.jit(
         jax.shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
@@ -183,13 +214,21 @@ def fourstep_sharded_fwd(
     backend: str = "pallas",
     interpret: bool = False,
     block_rows: Optional[int] = None,
+    comm: str = "ppermute",
 ) -> jnp.ndarray:
     """Forward four-step NTT, coefficients sharded over `axis` (and the batch
     optionally over `dp_axis`).  x: (B, n) uint32 in [0, 4q); output [0, q),
-    bit-identical to the single-chip transform."""
+    bit-identical to the single-chip transform.
+
+    comm="overlap" pipelines independent batch chunks so the all-to-all
+    retiles overlap transform compute (see ``_chunked``)."""
     num_devices = mesh.shape[axis]
     _check(plan, num_devices)
-    fn = _fwd_fn(plan, mesh, axis, dp_axis, backend, interpret, block_rows)
+    if comm not in ("ppermute", "overlap"):
+        raise ValueError(f"unknown comm {comm!r}")
+    fn = _fwd_fn(
+        plan, mesh, axis, dp_axis, backend, interpret, block_rows, comm
+    )
     tw, tp0, tp1 = _dev_fwd_scale(plan)
     return fn(x, tw, tp0, tp1)
 
@@ -205,14 +244,20 @@ def fourstep_sharded_inv(
     backend: str = "pallas",
     interpret: bool = False,
     block_rows: Optional[int] = None,
+    comm: str = "ppermute",
 ) -> jnp.ndarray:
     """Inverse four-step NTT (sharding as in ``fourstep_sharded_fwd``).
     x: (B, n) uint32 in [0, 2q); output [0, q).  `scale` overrides the
-    overall n^-1 multiplier (Montgomery fold, see api.polymul)."""
+    overall n^-1 multiplier (Montgomery fold, see api.polymul).  ``comm``
+    as in :func:`fourstep_sharded_fwd`."""
     num_devices = mesh.shape[axis]
     _check(plan, num_devices)
+    if comm not in ("ppermute", "overlap"):
+        raise ValueError(f"unknown comm {comm!r}")
     if scale is None:
         scale = plan.n_inv
-    fn = _inv_fn(plan, mesh, axis, dp_axis, scale, backend, interpret, block_rows)
+    fn = _inv_fn(
+        plan, mesh, axis, dp_axis, scale, backend, interpret, block_rows, comm
+    )
     itw, itp0, itp1 = _dev_inv_scale(plan)
     return fn(x, itw, itp0, itp1)

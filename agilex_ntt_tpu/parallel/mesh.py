@@ -58,6 +58,11 @@ class ShardedRing:
                     retiles (parallel/fourstep_shard.py) — fewer, larger
                     collectives; required when the ring itself is a
                     four-step ring (n beyond the single-pass VMEM wall).
+    sp_comm ("stage" method only): "ppermute" exchanges the whole shard
+        before computing each cross stage; "overlap" streams the partner
+        shard in chunks behind the butterfly compute via Pallas async
+        remote copies (parallel/overlap.py) — bit-identical, built for
+        ICI latency hiding on pod slices.
     Either axis may be None.  All results are bit-identical to the
     single-chip Ring.
     """
@@ -70,6 +75,7 @@ class ShardedRing:
         dp_axis: Optional[str] = "dp",
         sp_axis: Optional[str] = None,
         sp_method: Optional[str] = None,
+        sp_comm: str = "ppermute",
     ):
         if not isinstance(ring, (Ring, CyclicRing)):
             raise TypeError(
@@ -95,6 +101,9 @@ class ShardedRing:
                 "use sp_method='fourstep' for four-step rings"
             )
         self.sp_method = sp_method
+        if sp_comm not in ("ppermute", "overlap"):
+            raise ValueError(f"unknown sp_comm {sp_comm!r}")
+        self.sp_comm = sp_comm
         if sp_axis is not None and sp_method == "fourstep":
             if ring.plan is not None:
                 self._plan = ring.plan
@@ -191,14 +200,14 @@ class ShardedRing:
                     x, self._plan, self.mesh,
                     axis=self.sp_axis, dp_axis=self.dp_axis,
                     backend=self.ring.backend, interpret=self.ring.interpret,
-                    block_rows=self.ring.block_rows,
+                    block_rows=self.ring.block_rows, comm=self.sp_comm,
                 )
             else:
                 out = stage_shard.stage_sharded_fwd(
                     x, self.ring.params, self.mesh,
                     axis=self.sp_axis, dp_axis=self.dp_axis,
                     use_pallas=self._use_pallas, interpret=self.ring.interpret,
-                    block_rows=self.ring.block_rows,
+                    block_rows=self.ring.block_rows, comm=self.sp_comm,
                 )
             return self._true_rows(out, b)
         if self.ring.method == "fourstep":
@@ -227,14 +236,14 @@ class ShardedRing:
                     x, self._plan, self.mesh,
                     axis=self.sp_axis, dp_axis=self.dp_axis, scale=scale,
                     backend=self.ring.backend, interpret=self.ring.interpret,
-                    block_rows=self.ring.block_rows,
+                    block_rows=self.ring.block_rows, comm=self.sp_comm,
                 )
             else:
                 out = stage_shard.stage_sharded_inv(
                     x, self.ring.params, self.mesh,
                     axis=self.sp_axis, dp_axis=self.dp_axis, scale=scale,
                     use_pallas=self._use_pallas, interpret=self.ring.interpret,
-                    block_rows=self.ring.block_rows,
+                    block_rows=self.ring.block_rows, comm=self.sp_comm,
                 )
             return self._true_rows(out, b)
         if self.ring.method == "fourstep":
@@ -993,6 +1002,30 @@ class ShardedRNSRing:
             ("mod_down_bgv", int(t), int(count)), x,
             lambda v: self.rns.mod_down_bgv(v, t, count),
         )
+
+    def hps_scale_sk(self, d, qs, aux, t: int) -> jnp.ndarray:
+        """BFV HPS scale-and-round + Shenoy-Kumaresan exact return, on the
+        mesh: round(t*d/Q) converted EXACTLY back to the Q basis.
+
+        ``d``: (len(qs)+len(aux), B, n) residues of a big-base tensor part
+        in the union basis qs (+) aux, where aux = B-primes + (m_sk,).
+        Channel-mixing but coefficient-pointwise, so dp/sp shards stay
+        local (zero collectives) — the ShardedRNSRing BFV-multiply
+        primitive (`schemes/bfv.py`); bit-identical to the single-chip
+        ``ops/basechange`` composition.
+        """
+        from ..ops import basechange
+
+        d = jnp.asarray(d, dtype=jnp.uint32)
+        qs = tuple(int(q) for q in qs)
+        aux = tuple(int(q) for q in aux)
+        lvl, bs, m_sk = len(qs), aux[:-1], aux[-1]
+
+        def call(v):
+            y = basechange.scale_round(v[:lvl], v[lvl:], qs, aux, t)
+            return basechange.base_convert_sk(y[:-1], y[-1], bs, m_sk, qs)
+
+        return self._mixing_op(("hps_scale_sk", qs, aux, int(t)), d, call)
 
     def _sharded_ext(self, qs_ext: tuple, ext) -> "ShardedRNSRing":
         """The extended-basis ring, sharded like this one (dp/sp; channel

@@ -61,7 +61,8 @@ def _shifted_row(tab, off):
 
 def _fwd_body(
     x, w, p0, p1, *, axis: str, n: int, num_devices: int, q: int,
-    use_pallas: bool, interpret: bool, block_rows,
+    use_pallas: bool, interpret: bool, block_rows, comm: str = "ppermute",
+    mesh_axes: tuple = (),
 ):
     """shard_map body. x: (B, S) local shard; w/p0/p1: (log_n, S) local table
     slices."""
@@ -73,6 +74,16 @@ def _fwd_body(
         t = n >> (s + 1)
         tdev = t // S
         a_log = tdev.bit_length() - 1
+        if comm == "overlap":
+            from . import overlap
+
+            x = overlap.xchg_stage(
+                x, w[s : s + 1], p0[s : s + 1], p1[s : s + 1],
+                kind="fwd", axis=axis, mesh_axes=mesh_axes,
+                tdev=tdev, a_log=a_log, q=q, last=False,
+                interpret=interpret,
+            )
+            continue
         perm = [(d, d ^ tdev) for d in range(num_devices)]
         recv = lax.ppermute(x, axis, perm)
         is_u = ((idx >> a_log) & 1) == 0  # whole shard shares one role
@@ -99,7 +110,8 @@ def _fwd_body(
 def _inv_body(
     x, w, p0, p1, *, axis: str, n: int, num_devices: int, q: int,
     scale: int, scale_precon: int,
-    use_pallas: bool, interpret: bool, block_rows,
+    use_pallas: bool, interpret: bool, block_rows, comm: str = "ppermute",
+    mesh_axes: tuple = (),
 ):
     S = n // num_devices
     logn = n.bit_length() - 1
@@ -121,6 +133,15 @@ def _inv_body(
         t = 1 << s
         tdev = t // S
         a_log = tdev.bit_length() - 1
+        if comm == "overlap":
+            from . import overlap
+
+            x = overlap.xchg_stage(
+                x, w[s : s + 1], p0[s : s + 1], p1[s : s + 1],
+                kind="inv", axis=axis, mesh_axes=mesh_axes,
+                tdev=tdev, a_log=a_log, q=q, interpret=interpret,
+            )
+            continue
         perm = [(d, d ^ tdev) for d in range(num_devices)]
         recv = lax.ppermute(x, axis, perm)
         is_u = ((idx >> a_log) & 1) == 0
@@ -178,12 +199,14 @@ def _dev_inv_tabs(params):
 # retrace and recompile every invocation (Mesh, NTTParams and all remaining
 # keys are hashable; params is interned by make_params's lru_cache).
 @functools.lru_cache(maxsize=256)
-def _fwd_fn(params, mesh, axis, dp_axis, use_pallas, interpret, block_rows):
+def _fwd_fn(params, mesh, axis, dp_axis, use_pallas, interpret, block_rows,
+            comm="ppermute"):
     in_specs, out_spec = _specs(dp_axis, axis)
     body = functools.partial(
         _fwd_body,
         axis=axis, n=params.n, num_devices=mesh.shape[axis], q=params.q,
         use_pallas=use_pallas, interpret=interpret, block_rows=block_rows,
+        comm=comm, mesh_axes=tuple(mesh.axis_names),
     )
     return jax.jit(
         jax.shard_map(
@@ -196,7 +219,7 @@ def _fwd_fn(params, mesh, axis, dp_axis, use_pallas, interpret, block_rows):
 @functools.lru_cache(maxsize=256)
 def _inv_fn(
     params, mesh, axis, dp_axis, scale, scale_precon, use_pallas, interpret,
-    block_rows,
+    block_rows, comm="ppermute",
 ):
     in_specs, out_spec = _specs(dp_axis, axis)
     body = functools.partial(
@@ -204,6 +227,7 @@ def _inv_fn(
         axis=axis, n=params.n, num_devices=mesh.shape[axis], q=params.q,
         scale=scale, scale_precon=scale_precon,
         use_pallas=use_pallas, interpret=interpret, block_rows=block_rows,
+        comm=comm, mesh_axes=tuple(mesh.axis_names),
     )
     return jax.jit(
         jax.shard_map(
@@ -223,17 +247,26 @@ def stage_sharded_fwd(
     use_pallas: bool = False,
     interpret: bool = False,
     block_rows: Optional[int] = None,
+    comm: str = "ppermute",
 ) -> jnp.ndarray:
     """Forward NTT with coefficients sharded over `axis` (and optionally the
     batch over `dp_axis`).  x: (B, n) uint32 in [0, 4q); output [0, q),
-    bit-identical to the single-chip kernel."""
+    bit-identical to the single-chip kernel.
+
+    comm: "ppermute" (whole-shard exchange, then compute) or "overlap"
+    (chunked Pallas RDMA streaming the partner shard behind the butterfly
+    compute — parallel/overlap.py)."""
     num_devices = mesh.shape[axis]
     if params.n % (128 * num_devices):
         raise ValueError(
             f"n={params.n} must give lane-aligned shards over {num_devices} devices"
         )
+    if comm not in ("ppermute", "overlap"):
+        raise ValueError(f"unknown comm {comm!r}")
     w, p0, p1 = _dev_fwd_tabs(params)
-    fn = _fwd_fn(params, mesh, axis, dp_axis, use_pallas, interpret, block_rows)
+    fn = _fwd_fn(
+        params, mesh, axis, dp_axis, use_pallas, interpret, block_rows, comm
+    )
     return fn(x, w, p0, p1)
 
 
@@ -248,20 +281,24 @@ def stage_sharded_inv(
     use_pallas: bool = False,
     interpret: bool = False,
     block_rows: Optional[int] = None,
+    comm: str = "ppermute",
 ) -> jnp.ndarray:
     """Inverse NTT with coefficients sharded over `axis`.  x: (B, n) uint32 in
-    [0, 2q); output [0, q), bit-identical to the single-chip kernel."""
+    [0, 2q); output [0, q), bit-identical to the single-chip kernel.
+    ``comm`` as in :func:`stage_sharded_fwd`."""
     num_devices = mesh.shape[axis]
     if params.n % (128 * num_devices):
         raise ValueError(
             f"n={params.n} must give lane-aligned shards over {num_devices} devices"
         )
+    if comm not in ("ppermute", "overlap"):
+        raise ValueError(f"unknown comm {comm!r}")
     if scale is None:
         scale = params.n_inv
     scale_precon = (scale << 32) // params.q
     w, p0, p1 = _dev_inv_tabs(params)
     fn = _inv_fn(
         params, mesh, axis, dp_axis, scale, scale_precon, use_pallas,
-        interpret, block_rows,
+        interpret, block_rows, comm,
     )
     return fn(x, w, p0, p1)

@@ -219,6 +219,64 @@ class BFVContext(BGVContext):
 
         return self._fused(("bfvsq" if square else "bfvmul", level), build)
 
+    def _big_sharded(self, level: int):
+        """The union-basis ring Q_level (+) aux as a ShardedRNSRing placed
+        like the context's base rings (dp/sp; channel axis replicated —
+        the aux channels travel with their Q siblings)."""
+        key = ("bfv_big", level)
+        r = self._sharded.get(key)
+        if r is None:
+            from ..parallel.mesh import ShardedRNSRing
+
+            _, rbig = self._aux(level)
+            r = ShardedRNSRing(
+                rbig, self.mesh,
+                dp_axis=self.dp_axis, sp_axis=self.sp_axis,
+            )
+            self._sharded[key] = r
+        return r
+
+    def _multiply_mesh(
+        self, a: Ciphertext, b: Optional[Ciphertext], keys: KeySet
+    ) -> Ciphertext:
+        """The HPS pipeline on the mesh, composed from sharded ring ops
+        (cf. the CKKS mesh multiply): every stage — the float-corrected
+        lift, the big-base Karatsuba tensor, the HPS t/Q scale + SK-exact
+        return, the hoisted relinearization — is channel-mixing at most,
+        so dp/sp shards never exchange data outside the polymul transforms
+        themselves.  Bit-identical to the fused single-chip pipeline
+        (tests/test_bfv_sharded.py)."""
+        level = a.level
+        rq = self.ring(level)                 # ShardedRNSRing over Q_level
+        aux, _ = self._aux(level)
+        rbig = self._big_sharded(level)
+        qs = tuple(self.qs[:level])
+
+        def lift(c):
+            ext = rq.base_convert(c, aux, correction="float")
+            return rbig.shard(jnp.concatenate(
+                [jnp.asarray(c, jnp.uint32), ext], axis=0
+            ))
+
+        a0, a1 = lift(a.c0), lift(a.c1)
+        if b is None:
+            d0 = rbig.polymul(a0, a0)
+            d2 = rbig.polymul(a1, a1)
+            x = rbig.polymul(a0, a1)
+            d1 = rbig.add(x, x)
+        else:
+            b0, b1 = lift(b.c0), lift(b.c1)
+            d0 = rbig.polymul(a0, b0)
+            d2 = rbig.polymul(a1, b1)
+            cross = rbig.polymul(rbig.add(a0, a1), rbig.add(b0, b1))
+            d1 = rbig.sub(rbig.sub(cross, d0), d2)
+        down = lambda d: rq.shard(rq.hps_scale_sk(d, qs, aux, self.t))
+        d0q, d1q, d2q = down(d0), down(d1), down(d2)
+        hs = self._keyswitch_pair(d2q, self._key_pair(keys), level, 1)
+        return Ciphertext(
+            rq.add(d0q, hs[0]), rq.add(d1q, hs[1]), level, Fraction(1)
+        )
+
     def multiply(
         self, a: Ciphertext, b: Ciphertext, keys: KeySet
     ) -> Ciphertext:
@@ -227,11 +285,7 @@ class BFVContext(BGVContext):
                 f"level mismatch {a.level} != {b.level}; mod_down_to first"
             )
         if self.mesh is not None:
-            raise NotImplementedError(
-                "BFV multiply is single-chip this round (the big-base lift "
-                "is not wired through ShardedRNSRing); shard batches via "
-                "dp on a second context, or use CKKS/BGV on the mesh"
-            )
+            return self._multiply_mesh(a, b, keys)
         c0, c1 = self._mul_fused(a.level, square=False)(
             a.c0, a.c1, b.c0, b.c1,
             self._sliced_keys(self._key_pair(keys), a.level),
@@ -240,9 +294,7 @@ class BFVContext(BGVContext):
 
     def square(self, a: Ciphertext, keys: KeySet) -> Ciphertext:
         if self.mesh is not None:
-            raise NotImplementedError(
-                "BFV square is single-chip this round; see multiply"
-            )
+            return self._multiply_mesh(a, None, keys)
         c0, c1 = self._mul_fused(a.level, square=True)(
             a.c0, a.c1, self._sliced_keys(self._key_pair(keys), a.level)
         )

@@ -207,6 +207,32 @@ def test_polymul_broadcast_shapes_fused_interpret(rng):
     assert (got == want).all()
 
 
+def test_rns_fused_polymul_broadcasts_lead_dims(rng):
+    """(L, k, n) x (L, 1, n) broadcasts through the fused multi-prime
+    kernel path exactly like the stacked per-ring path (regression, round
+    4: scheme keygen multiplies the (K, dnum, n) noise block against the
+    (K, 1, n) secret — on TPU the uniform-Pallas branch reshaped without
+    broadcasting and keygen crashed for every scheme)."""
+    from agilex_ntt_tpu import RNSRing
+
+    n = 256
+    rp = RNSRing(n, num_primes=3, backend="pallas", interpret=True)
+    rx = RNSRing(n, num_primes=3, backend="xla")
+    assert rp._uniform_pallas() and not rx._uniform_pallas()
+    a = np.stack([
+        rng.integers(0, r.q, size=(4, n), dtype=np.uint32)
+        for r in rp.rings
+    ])
+    s = np.stack([
+        rng.integers(0, r.q, size=(1, n), dtype=np.uint32)
+        for r in rp.rings
+    ])
+    got = np.asarray(rp.polymul(a, s))
+    want = np.asarray(rx.polymul(a, s))
+    assert got.shape == (3, 4, n)
+    assert (got == want).all()
+
+
 def test_cyclic_rejects_oversized_and_composite_q():
     with pytest.raises(ValueError, match="2\\*\\*30"):
         CyclicRing(256, q=2147483137)  # 31-bit prime, q % n == 1
