@@ -98,6 +98,9 @@ def main():
     gen_large_fourstep(rng, blobs)
     gen_wide(rng, blobs)
 
+    # -- round-4 extension (VERDICT round-3 item 8) ---------------------------
+    gen_keyswitch(rng, blobs)
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **blobs)
     print("wrote", OUT)
@@ -202,6 +205,80 @@ def gen_wide(rng, blobs, n=1024, bits=(45, 62)):
         blobs[f"w{b}_pm_b"] = bb
         blobs[f"w{b}_pm_c"] = c
         print(f"wide n={n}: q={q} ({b}-bit) certified")
+
+
+def gen_keyswitch(rng, blobs, n=4096, L=4, spec=2, dnum=2):
+    """Keyswitch-pipeline KAT (round 4, VERDICT round-3 item 8): exact
+    expected output of the one-call hybrid key-switch — gadget digits ->
+    extended-basis polydot -> centered ModDown — at a production shape
+    (n=4096, L=4 + 2 special primes, dnum=2).
+
+    Oracle, fully independent of the JAX pipeline:
+      * digits t_d = [x]_{Q_d} by exact big-int CRT over each prime group
+        (the mathematical contract of gadget_decompose — the device path's
+        float-corrected fast conversion must land on the same residues);
+      * per-channel negacyclic convolutions t_d * ksk_d mod p_j through
+        the native C core (itself big-int-certified above), with 4 output
+        coefficients per channel re-derived by exact O(n) big-int dot;
+      * ModDown = two exact centered divides on the big-int CRT composite.
+    """
+    from agilex_ntt_tpu.utils.crt import crt_compose
+
+    qs_all = find_primes(n, L + spec)
+    qs, ext_qs = qs_all[:L], qs_all
+    Q = 1
+    for q in qs:
+        Q *= q
+    # random big-int polynomial in [0, Q) via 30-bit chunks
+    xb = np.zeros(n, dtype=object)
+    for _ in range((Q.bit_length() + 29) // 30):
+        xb = xb * (1 << 30) + rng.integers(0, 1 << 30, size=n).astype(object)
+    xb %= Q
+    x = np.stack([(xb % q).astype(np.uint32) for q in qs])
+    ksk = np.stack([
+        np.stack([rng.integers(0, q, size=n, dtype=np.uint32)
+                  for q in ext_qs])
+        for _ in range(dnum)
+    ])
+    # digits: groups of L/dnum primes each
+    g = L // dnum
+    ts = [crt_compose(x[d * g:(d + 1) * g], qs[d * g:(d + 1) * g])
+          for d in range(dnum)]
+    prod = np.zeros((len(ext_qs), n), dtype=object)
+    spot_idx = rng.choice(n, size=4, replace=False)
+    for j, p in enumerate(ext_qs):
+        pp = make_params(n, p)
+        for d in range(dnum):
+            td = (ts[d] % p).astype(np.uint64)
+            kd = ksk[d, j].astype(np.uint64)
+            ft = native.fwd_ntt(td[None], p, pp.roots, pp.precon64)
+            fk = native.fwd_ntt(kd[None], p, pp.roots, pp.precon64)
+            conv = native.inv_ntt(
+                native.pointwise(ft, fk, p), p, pp.inv_roots, pp.inv_precon64
+            )[0]
+            if j == 0:
+                for k in spot_idx:  # exact big-int negacyclic spot check
+                    acc = 0
+                    for i in range(n):
+                        jj = (int(k) - i) % n
+                        sign = 1 if i + jj == int(k) else -1
+                        acc = (acc + sign * int(td[i]) * int(kd[jj])) % p
+                    assert acc == int(conv[k]), f"ks conv spot {k} p={p}"
+            prod[j] = (prod[j] + conv.astype(object)) % p
+    big = crt_compose(prod, ext_qs)
+    for _ in range(spec):  # centered divide by each special prime
+        p = ext_qs[len(ext_qs) - 1 - _]
+        s = big % p
+        s = np.where(s > p // 2, s - p, s)
+        big = (big - s) // p
+    out = np.stack([(big % q).astype(np.uint32) for q in qs])
+    blobs["ks_qs"] = np.array(ext_qs, dtype=np.uint64)
+    blobs["ks_L"] = np.int64(L)
+    blobs["ks_dnum"] = np.int64(dnum)
+    blobs["ks_x"] = x
+    blobs["ks_ksk"] = ksk
+    blobs["ks_out"] = out
+    print(f"keyswitch n={n} L={L}+{spec} dnum={dnum}: certified")
 
 
 def _cyclic_tables_u64(n, q, omega):
