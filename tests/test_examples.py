@@ -25,6 +25,7 @@ _EXAMPLES = [
     ("bsgs_matvec.py", 900),       # 9-term host-oracle linear map
     ("ckks_scheme.py", 600),       # first-class scheme API
     ("bgv_exact.py", 600),         # exact-integer scheme API
+    ("bfv_exact.py", 900),         # scale-invariant sibling (HPS multiply)
 ]
 
 
