@@ -90,6 +90,24 @@ class Ring:
         self.q = q
         self.block_rows = block_rows
         self.interpret = interpret
+        if method == "auto":
+            # Consult the persisted autotune cache (utils/autotune.py): the
+            # measured-best config for this (n, q-bits) on this device kind
+            # at the largest tuned batch.  Explicit backend/block_rows/
+            # fourstep_kernel arguments still win; a cache miss falls back
+            # to the static defaults below (which encode the v5e
+            # measurements in BASELINE.md).
+            from .utils.autotune import cached_config  # lazy: import cycle
+
+            tuned = cached_config(n, q) or {}
+            method = tuned.get("method")
+            if backend is None:
+                backend = tuned.get("backend")
+            if block_rows is None and tuned.get("block_rows") is not None:
+                block_rows = tuned["block_rows"]
+                self.block_rows = block_rows
+            if fourstep_kernel is None and method == "fourstep":
+                fourstep_kernel = tuned.get("fourstep_kernel")
         if method is None:
             method = "fourstep" if n > MAX_RADIX2_N else "radix2"
         if method not in ("radix2", "fourstep"):
@@ -1030,6 +1048,16 @@ class RNSRing:
                 # n) noise block against a (K, 1, n) secret) — the fused
                 # kernels need materially equal shapes, so broadcast first
                 lead = jnp.broadcast_shapes(*(a.shape[1:-1] for a in arrs))
+                # right-align each array's lead dims against `lead` with
+                # explicit singleton axes after the channel axis (a bare
+                # (L, n) operand must not have its L axis collide with a
+                # batch axis under trailing-aligned broadcasting)
+                arrs = [
+                    a.reshape(a.shape[:1]
+                              + (1,) * (len(lead) - (a.ndim - 2))
+                              + a.shape[1:])
+                    for a in arrs
+                ]
                 arrs = [
                     jnp.broadcast_to(a, (L,) + lead + (n,)) for a in arrs
                 ]

@@ -140,6 +140,39 @@ def _cache_key(op: str, n: int, batch: int, q: int) -> str:
     return f"{op}|n={n}|b={batch}|qbits={q.bit_length()}"
 
 
+def cached_config(
+    n: int,
+    q: int,
+    op: str = "ntt",
+    *,
+    cache_path: Optional[str] = None,
+) -> Optional[Dict]:
+    """Best persisted config for (op, n, q-bits) on this device kind, or
+    None on a miss.  ``Ring(..., method="auto")`` consults this at
+    construction (no timing, no device work beyond reading the device
+    kind); batch is not known at Ring construction, so among cached
+    batches the LARGEST wins — the throughput regime every BASELINE.md
+    config was tuned in.  Entries are written by ``tune()`` / the CLI.
+    """
+    dev = device_key()
+    entries = _load_cache(cache_path or default_cache_path()).get(dev, {})
+    prefix = f"{op}|n={n}|b="
+    suffix = f"|qbits={q.bit_length()}"
+    best_batch, hit = -1, None
+    for key, val in entries.items():
+        if not (key.startswith(prefix) and key.endswith(suffix)):
+            continue
+        try:
+            batch = int(key[len(prefix):-len(suffix)])
+        except ValueError:
+            continue
+        if batch > best_batch:
+            best_batch, hit = batch, val
+    if hit is None:
+        return None
+    return {k: hit["config"][k] for k in _CONFIG_KEYS if k in hit["config"]}
+
+
 def tune(
     n: int,
     batch: int,

@@ -152,3 +152,73 @@ def test_ring_flat_bit_exact(rng):
             == np.asarray(ref.intt(fx))).all()
     assert (np.asarray(flat.polymul(jnp.asarray(x), jnp.asarray(y)))
             == np.asarray(ref.polymul(x, y))).all()
+
+
+# -- Ring(method="auto"): persisted-cache-consulting dispatch ----------------
+
+
+def _write_cache(path, n, q, entries):
+    """entries: list of (op, batch, config) persisted under this device."""
+    ns = {}
+    for op, batch, config in entries:
+        key = f"{op}|n={n}|b={batch}|qbits={q.bit_length()}"
+        ns[key] = {"config": config, "seconds": 1.0}
+    with open(path, "w") as f:
+        json.dump({autotune.device_key(): ns}, f)
+
+
+def test_cached_config_prefers_largest_batch(tmp_path):
+    path = str(tmp_path / "cache.json")
+    q = Ring(16384).q
+    _write_cache(path, 16384, q, [
+        ("ntt", 8, {"method": "radix2", "backend": "xla"}),
+        ("ntt", 512, {"method": "fourstep", "backend": "xla",
+                      "fourstep_kernel": "tiled"}),
+    ])
+    cfg = autotune.cached_config(16384, q, cache_path=path)
+    assert cfg["method"] == "fourstep"          # batch 512 wins over 8
+    # miss: different n, different qbits, empty file
+    assert autotune.cached_config(8192, q, cache_path=path) is None
+    assert autotune.cached_config(16384, 97, cache_path=path) is None
+    assert autotune.cached_config(
+        16384, q, cache_path=str(tmp_path / "nope.json")) is None
+
+
+def test_ring_method_auto_cache_hit(tmp_path, monkeypatch):
+    path = str(tmp_path / "cache.json")
+    q = Ring(16384).q
+    _write_cache(path, 16384, q, [
+        ("ntt", 256, {"method": "fourstep", "backend": "xla",
+                      "fourstep_kernel": "tiled", "block_rows": 64}),
+    ])
+    monkeypatch.setenv("NTT_TPU_AUTOTUNE_CACHE", path)
+    ring = Ring(16384, method="auto")
+    assert ring.method == "fourstep"
+    assert ring.backend == "xla"
+    assert ring.block_rows == 64
+    # explicit arguments still beat the cached entry
+    ring2 = Ring(16384, method="auto", backend="xla", block_rows=32)
+    assert ring2.block_rows == 32
+
+
+def test_ring_method_auto_miss_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setenv("NTT_TPU_AUTOTUNE_CACHE",
+                       str(tmp_path / "empty.json"))
+    ring = Ring(4096, method="auto")
+    assert ring.method == "radix2"              # static default preserved
+    big = Ring(65536, method="auto")
+    assert big.method == "fourstep"
+
+
+def test_ring_method_auto_computes_correctly(tmp_path, monkeypatch, rng):
+    path = str(tmp_path / "cache.json")
+    q = Ring(4096).q
+    _write_cache(path, 4096, q, [
+        ("ntt", 64, {"method": "fourstep", "backend": "xla"}),
+    ])
+    monkeypatch.setenv("NTT_TPU_AUTOTUNE_CACHE", path)
+    ring = Ring(4096, method="auto")
+    assert ring.method == "fourstep"
+    x = rng.integers(0, ring.q, size=(4, 4096), dtype=np.uint32)
+    want = Ring(4096, ring.q, method="radix2", backend="xla").ntt(x)
+    assert (np.asarray(ring.ntt(jnp.asarray(x))) == np.asarray(want)).all()

@@ -233,6 +233,31 @@ def test_rns_fused_polymul_broadcasts_lead_dims(rng):
     assert (got == want).all()
 
 
+def test_rns_fused_polymul_broadcasts_missing_lead_dims(rng):
+    """(L, n) x (L, B, n) — RANK-mismatched operands — broadcast through
+    the fused kernel path like the stacked path (regression, round 4:
+    trailing-aligned broadcast_to collided the channel axis with the batch
+    axis, so CKKS encrypt of a batched plaintext against the unbatched
+    public key crashed on TPU; report_out/hw_r3/suite.err)."""
+    from agilex_ntt_tpu import RNSRing
+
+    n = 256
+    rp = RNSRing(n, num_primes=3, backend="pallas", interpret=True)
+    rx = RNSRing(n, num_primes=3, backend="xla")
+    pk = np.stack([
+        rng.integers(0, r.q, size=(n,), dtype=np.uint32) for r in rp.rings
+    ])
+    v = np.stack([
+        rng.integers(0, r.q, size=(5, n), dtype=np.uint32)
+        for r in rp.rings
+    ])
+    for x, y in ((pk, v), (v, pk)):
+        got = np.asarray(rp.polymul(x, y))
+        want = np.asarray(rx.polymul(x, y))
+        assert got.shape == (3, 5, n)
+        assert (got == want).all()
+
+
 def test_cyclic_rejects_oversized_and_composite_q():
     with pytest.raises(ValueError, match="2\\*\\*30"):
         CyclicRing(256, q=2147483137)  # 31-bit prime, q % n == 1
