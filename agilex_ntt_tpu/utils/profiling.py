@@ -60,12 +60,12 @@ def dump_hlo(fn: Callable, *args, **kwargs) -> str:
     return jax.jit(fn).lower(*args, **kwargs).compile().as_text()
 
 
-def _trace_per_call_seconds(tr: dict) -> float | None:
+def _trace_per_call_seconds(tr: dict, iters: int | None = None) -> float | None:
     """Seconds-per-call from a loaded ``*.trace.json`` dict (pure parser).
 
     Split out of ``device_time_profiled`` so the event-accounting rules can
     be unit-tested against synthetic trace fixtures without a device
-    (``tests/test_report.py``).  The rules, each learned the hard way:
+    (``tests/test_profiling.py``).  The rules, each learned the hard way:
 
     1. **Device pids only** — host-side events carry tunnel/dispatch jitter.
     2. **Top-level events only.**  A TPU trace contains BOTH the module
@@ -88,6 +88,15 @@ def _trace_per_call_seconds(tr: dict) -> float | None:
        reduce/slice launches run once per chained run) and are excluded;
        if nothing repeats (tiny iters / heavy flush loss) fall back to the
        dominant event.
+    5. **Multi-dispatch multiplicity** (round-4 bug, caught by the composed
+       linear-transform bench): rule 3 implicitly assumes each executable
+       runs ONCE per call — a Python loop dispatching the same jitted
+       keyswitch 16x per call got counted as one execution, inflating the
+       composed form 16x.  When the caller passes ``iters`` (the number of
+       chained calls), a second accounting divides the TOTAL busy time of
+       repeated names by ``iters`` — exact under full capture for any
+       dispatch multiplicity, an undercount only under flush loss.  Both
+       accountings are lower bounds of the truth; the MAX is returned.
     """
     from collections import defaultdict
 
@@ -130,7 +139,15 @@ def _trace_per_call_seconds(tr: dict) -> float | None:
     if not per_call:  # nothing repeated (tiny iters / heavy flush loss):
         busy_us, count = max(totals.values(), key=lambda t: t[0])
         return busy_us * 1e-6 / count
-    return sum(per_call.values()) * 1e-6
+    per_name = sum(per_call.values())
+    if not iters:
+        return per_name * 1e-6
+    # rule 5: chain-level accounting for multi-dispatch-per-call paths
+    # (once-only names stay excluded: the per-chain scalar readback)
+    per_chain = sum(
+        t[0] for t in totals.values() if t[1] > 1
+    ) / iters
+    return max(per_name, per_chain) * 1e-6
 
 
 def device_time_profiled(
@@ -183,7 +200,7 @@ def device_time_profiled(
             return None
         with gzip.open(traces[-1]) as f:
             tr = json.load(f)
-    return _trace_per_call_seconds(tr)
+    return _trace_per_call_seconds(tr, iters=iters)
 
 
 def device_time(

@@ -98,3 +98,32 @@ def test_nothing_repeated_falls_back_to_dominant():
         _ev(7, "jit_b(...)", 100.0, 20 * US, tid=1),
     ]
     assert abs(_trace_per_call_seconds(_trace(evs)) - 80e-6) < 1e-12
+
+
+def test_multi_dispatch_per_call_counts_multiplicity():
+    # A Python loop dispatching the same jitted executable 16x per call
+    # (the composed linear-transform bench): per-name normalization alone
+    # collapses the 16 executions to one (round-4 bug — the composed form
+    # measured 16x fast).  With iters passed, the chain-level accounting
+    # recovers the multiplicity: 4 calls x (16 x 10us + 1 x 20us) = 180us.
+    evs = []
+    for c in range(4):
+        t0 = 10000.0 * c
+        for j in range(16):
+            evs.append(_ev(7, "jit_keyswitch(...)", t0 + 100 * j, 10 * US, tid=1))
+        evs.append(_ev(7, "jit_auto(...)", t0 + 1700, 20 * US, tid=1))
+    assert abs(_trace_per_call_seconds(_trace(evs), iters=4) - 180e-6) < 1e-12
+    # without iters the parser keeps the legacy per-name lower bound
+    assert abs(_trace_per_call_seconds(_trace(evs)) - 30e-6) < 1e-12
+
+
+def test_multiplicity_accounting_excludes_readback_and_flush_loss():
+    # chain-level accounting must still exclude once-only (per-chain)
+    # events, and per-name normalization must still win under flush loss.
+    evs = [_ev(7, "jit_a(...)", 1000.0 * i, 50 * US, tid=1) for i in range(8)]
+    evs.append(_ev(7, "reduce.99", 9000.0, 500 * US, tid=1))
+    # full capture, single dispatch: both accountings agree at 50us
+    assert abs(_trace_per_call_seconds(_trace(evs), iters=8) - 50e-6) < 1e-12
+    # flush loss: only 4 of 8 captured -> per-chain says 25us, per-name 50us
+    lossy = evs[:4]
+    assert abs(_trace_per_call_seconds(_trace(lossy), iters=8) - 50e-6) < 1e-12
