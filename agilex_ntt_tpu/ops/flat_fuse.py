@@ -5,8 +5,17 @@ The fused four-step kernels in ``fourstep.py`` operate on the tiled
 each boundary (~0.87 ms per in+out pair at 128 MB on v5e — the "four-step
 API-boundary tax" measured in BASELINE.md: 126.9 K end-to-end vs 158 K
 kernel-only fwd NTT/s at n = 2^16).  The tiled-domain API (``Ring.ntt_tiled``)
-lets *chained* pipelines amortize the tax; this module removes it for flat
-callers entirely by running both passes directly on the flat (rows, n) block.
+lets *chained* pipelines amortize the tax; this module avoids it for flat
+callers by running both passes directly on the flat (rows, n) block.
+
+Measured outcome (BASELINE.md rounds 3-5, n=2^16, B=512): the flat fwd
+kernel runs SLOWER than tiled+relayout (113.0 K vs 126.8 K NTT/s — the
+full-width stage tables and the 512-vreg live block cost more than the
+relayout saves; pass-level breakdown in ``tools/ab_flat_passes.py``); inv
+sits at parity within timing jitter; polymul has no feasible flat
+configuration at n=2^16 at all (the VMEM guard below) and dispatches the
+tiled fused kernel.  The per-op choice is therefore delegated to the
+autotune cache (``utils/autotune.py``), not asserted here.
 
 The trick is that the tiled layout is only an *addressing* convenience: with
 flat index c = i * n2 + j,
@@ -59,6 +68,78 @@ from .stage_math import fwd_stages, inv_stages
 # Beyond this the block instruction count (vregs x ops x stages) makes the
 # single flat kernel compile-prohibitive; the tiled two-layout path wins.
 FLAT_FUSE_MAX_N = 1 << 17
+
+# -- byte-aware VMEM guard (VERDICT round-4 item 3) --------------------------
+#
+# v5e VMEM is 128 MiB.  The footprint of one flat op is
+#
+#   tables + window blocks + Mosaic stage-chain scratch,
+#
+# where tables = 3*(log n1 + log n2 + 1)*n words per direction (x2 for
+# polymul, which carries both), windows = (inputs double-buffered + output
+# double-buffered) blocks of block_rows*n words, and scratch scales with the
+# block size (live vregs across the unrolled stage chains).  The scratch
+# coefficients below are calibrated against the one hard datapoint on v5e:
+# polymul at n=2^16 / block_rows=8 allocated 134.34 MiB (report_out/
+# hw_r3/ab_flat.err) = 25.5 MiB tables + 12 MiB windows + ~48 blocks of
+# temporaries (two forward chains' outputs stay live through the pointwise
+# product plus the inverse chain); the single-transform kernels carry one
+# chain, ~half the live set.  Coefficients are deliberately generous — the
+# guard exists to turn an internal compiler OOM into a smaller block or a
+# clean error, not to shave the last MiB.
+_VMEM_BUDGET = 112 * 1024 * 1024  # leave pipeline headroom under 128 MiB
+_SCRATCH_BLOCKS = {"fwd": 24, "inv": 24, "polymul": 50}
+_WINDOW_BLOCKS = {"fwd": 4, "inv": 4, "polymul": 6}
+
+
+def flat_vmem_bytes(plan: FourStepPlan, block_rows: int, op: str) -> int:
+    """Model of the VMEM footprint (bytes) of one flat four-step kernel."""
+    ln1 = plan.n1.bit_length() - 1
+    ln2 = plan.n2.bit_length() - 1
+    tab_words = 3 * (ln1 + ln2 + 1) * plan.n
+    if op == "polymul":
+        tab_words *= 2
+    block_words = block_rows * plan.n
+    blocks = _WINDOW_BLOCKS[op] + _SCRATCH_BLOCKS[op]
+    return 4 * (tab_words + blocks * block_words)
+
+
+def max_flat_block_rows(plan: FourStepPlan, op: str) -> Optional[int]:
+    """8 if the modeled footprint fits the VMEM budget at block_rows=8,
+    else None (caller should use the tiled kernels).
+
+    8 is the MINIMUM legal block height on TPU for batches above 8 (the
+    Pallas lowering requires the second-to-last block dim be a multiple
+    of 8 or equal the array dim, and the flat API pads batches to a
+    multiple of 8) — so there is no smaller fallback to probe."""
+    if flat_vmem_bytes(plan, 8, op) <= _VMEM_BUDGET:
+        return 8
+    return None
+
+
+def _fit_rows(plan: FourStepPlan, batch: int, block_rows: Optional[int],
+              op: str, interpret: bool) -> int:
+    """_pick_rows clamped by the VMEM model and TPU block-shape legality
+    (rows a multiple of 8, or the whole batch); skipped in interpret mode,
+    where there is no VMEM."""
+    br = _pick_rows(batch, block_rows)
+    if interpret:
+        return br
+    while br and not (
+        flat_vmem_bytes(plan, br, op) <= _VMEM_BUDGET
+        and (br % 8 == 0 or br == batch)
+        and batch % br == 0
+    ):
+        br -= 1
+    if not br:
+        raise ValueError(
+            f"flat four-step {op} at n={plan.n} does not fit VMEM at any "
+            f"legal block_rows (modeled "
+            f"{flat_vmem_bytes(plan, min(8, batch), op) >> 20} MiB at "
+            f"block_rows={min(8, batch)}, budget {_VMEM_BUDGET >> 20} MiB); "
+            "use the tiled kernels (fourstep_kernel='tiled')"
+        )
+    return br
 
 
 def _flat_col_tabs(tabs: st.StageTables, n2: int):
@@ -164,7 +245,7 @@ def fwd_ntt_fourstep_flat(
     cw, cp0, cp1 = _flat_col_tabs(st.fwd_stage_tables(plan.col), plan.n2)
     rw, rp0, rp1 = _flat_row_tabs(st.fwd_stage_tables(plan.row), plan.n1)
     ts1, ts2, _, _ = _flat_ts(plan)
-    br = _pick_rows(b, block_rows)
+    br = _fit_rows(plan, b, block_rows, "fwd", interpret)
     x_spec, ctab, rtab, stab = _specs(plan, br)
     kern = functools.partial(_flat_fwd_kernel, ts1=ts1, ts2=ts2, q=plan.q)
     return pl.pallas_call(
@@ -207,7 +288,7 @@ def inv_ntt_fourstep_flat(
     cw, cp0, cp1 = _flat_col_tabs(st.inv_stage_tables(plan.col), plan.n2)
     rw, rp0, rp1 = _flat_row_tabs(st.inv_stage_tables(plan.row), plan.n1)
     _, _, ts1, ts2 = _flat_ts(plan)
-    br = _pick_rows(b, block_rows)
+    br = _fit_rows(plan, b, block_rows, "inv", interpret)
     x_spec, ctab, rtab, stab = _specs(plan, br)
     kern = functools.partial(
         _flat_inv_kernel, ts1=ts1, ts2=ts2, q=plan.q,
@@ -292,7 +373,7 @@ def polymul_fourstep_flat(
     ts1f, ts2f, ts1i, ts2i = _flat_ts(plan)
     row_scale = plan.row.n_inv
     col_scale = scale * plan.n2 % q
-    br = _pick_rows(b_sz, block_rows)
+    br = _fit_rows(plan, b_sz, block_rows, "polymul", interpret)
     x_spec, ctab, rtab, stab = _specs(plan, br)
     kern = functools.partial(
         _flat_polymul_kernel,

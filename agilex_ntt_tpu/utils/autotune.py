@@ -250,6 +250,113 @@ def tune(
             "tuned": True, "candidates": results}
 
 
+#: scheme-level fused ops the tuner can time (VERDICT round-4 item 8):
+#: the evaluator inner loops whose dispatch configuration (backend,
+#: block_rows) was previously inherited from the single-op sweeps.
+_SCHEME_OPS = ("tensor", "keyswitch")
+
+
+def _scheme_candidates(n: int, on_tpu: bool) -> List[Dict]:
+    """Configs worth timing for the fused scheme ops at radix-2 sizes:
+    the Pallas kernels over a block_rows menu, plus the XLA fallback."""
+    out: List[Dict] = [{"method": "radix2", "backend": "xla"}]
+    if on_tpu and MIN_KERNEL_N <= n <= MAX_RADIX2_N:
+        for br in (None, 64, 128, 256):
+            out.append({"method": "radix2", "backend": "pallas",
+                        "block_rows": br})
+    return out
+
+
+def tune_scheme(
+    op: str,
+    n: int,
+    batch: int,
+    *,
+    L: int = 3,
+    dnum: int = 3,
+    iters: int = 8,
+    timer: Optional[Callable] = None,
+    cache_path: Optional[str] = None,
+    use_cache: bool = True,
+    refresh: bool = False,
+    on_tpu: Optional[bool] = None,
+) -> Dict:
+    """Measure the best RNSRing config for a fused scheme op at L>1.
+
+    ``op``: "tensor" (the RLWE ciphertext tensor product, ONE dispatch over
+    L channels) or "keyswitch" (hybrid key switch: gadget decomposition ->
+    extended polydot -> ModDown, dnum digits over L+dnum/... primes).
+    Shapes follow the serving configuration in tools/bench_suite.py.
+    Winners persist under a key carrying (op, n, batch, L, dnum), separate
+    from the single-op entries ``Ring(method="auto")`` consults.
+    """
+    import numpy as np
+
+    from ..api import RNSRing
+    from ..params import find_primes
+
+    if op not in _SCHEME_OPS:
+        raise ValueError(f"unknown scheme op {op!r}; expected {_SCHEME_OPS}")
+    if on_tpu is None:
+        on_tpu = device_key() not in ("cpu", "gpu")
+    qs_all = find_primes(n, L + 1)
+    path = cache_path or default_cache_path()
+    dev = device_key()
+    key = f"{op}|n={n}|b={batch}|L={L}|dnum={dnum}"
+    if use_cache and not refresh:
+        hit = _load_cache(path).get(dev, {}).get(key)
+        if hit is not None:
+            cfg = {k: hit["config"][k] for k in _CONFIG_KEYS
+                   if k in hit["config"]}
+            return {"config": cfg, "seconds": hit.get("seconds"),
+                    "tuned": False, "candidates": []}
+
+    time_fn = timer or (
+        lambda fn, x, it: min(device_time(fn, x, iters=it) for _ in range(3))
+    )
+    rng = np.random.default_rng(0)
+    results = []
+    for cfg in _scheme_candidates(n, on_tpu):
+        try:
+            rq = RNSRing(n, qs=qs_all[:L], **cfg)
+            if op == "tensor":
+                x = jnp.asarray(rng.integers(
+                    0, min(rq.qs), size=(L, batch, n), dtype=np.uint32
+                ))
+                fn = lambda v: rq.tensor(v, x, x, x)[0].astype(jnp.uint32)
+            else:  # keyswitch
+                rqp = RNSRing(n, qs=qs_all, **cfg)
+                ksk = jnp.asarray(np.stack(
+                    [np.stack([rng.integers(0, q, size=n, dtype=np.uint32)
+                               for q in qs_all]) for _ in range(dnum)]
+                ))
+                x = jnp.asarray(rng.integers(
+                    0, min(rq.qs), size=(L, batch, n), dtype=np.uint32
+                ))
+                fn = lambda v: rq.keyswitch(v, ksk, rqp, dnum)
+            t = float(time_fn(fn, x, iters))
+        except Exception as e:  # candidate invalid on this device: skip
+            results.append({"config": cfg, "seconds": None, "error": str(e)})
+            continue
+        results.append({"config": cfg, "seconds": t})
+    alive = [r for r in results if r["seconds"] is not None]
+    if not alive:
+        raise RuntimeError(
+            f"no candidate config survived for scheme op={op} n={n} "
+            f"batch={batch}: "
+            + "; ".join(str(r.get("error")) for r in results)
+        )
+    best = min(alive, key=lambda r: r["seconds"])
+    if use_cache:
+        cache = _load_cache(path)
+        cache.setdefault(dev, {})[key] = {
+            "config": best["config"], "seconds": best["seconds"],
+        }
+        _store_cache(path, cache)
+    return {"config": dict(best["config"]), "seconds": best["seconds"],
+            "tuned": True, "candidates": results}
+
+
 def tuned_ring(
     n: int,
     batch: int,
@@ -272,18 +379,35 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     ap.add_argument("n", type=int)
     ap.add_argument("batch", type=int)
-    ap.add_argument("--op", default="all", choices=("all",) + _OPS)
+    ap.add_argument("--op", default="all",
+                    choices=("all", "scheme") + _OPS + _SCHEME_OPS)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--L", type=int, default=3, help="primes (scheme ops)")
+    ap.add_argument("--dnum", type=int, default=3,
+                    help="key-switch digits (scheme ops)")
     ap.add_argument("--refresh", action="store_true",
                     help="re-time even on a cache hit")
     args = ap.parse_args(argv)
-    for op in _OPS if args.op == "all" else (args.op,):
-        r = tune(args.n, args.batch, op, iters=args.iters,
-                 refresh=args.refresh)
+    if args.op == "all":
+        ops = _OPS
+    elif args.op == "scheme":
+        ops = _SCHEME_OPS
+    else:
+        ops = (args.op,)
+    for op in ops:
+        if op in _SCHEME_OPS:
+            r = tune_scheme(op, args.n, args.batch, L=args.L,
+                            dnum=args.dnum, iters=args.iters,
+                            refresh=args.refresh)
+            extra = {"L": args.L, "dnum": args.dnum}
+        else:
+            r = tune(args.n, args.batch, op, iters=args.iters,
+                     refresh=args.refresh)
+            extra = {}
         print(json.dumps({
             "device": device_key(), "op": op, "n": args.n,
-            "batch": args.batch, **r,
-        }))
+            "batch": args.batch, **extra, **r,
+        }), flush=True)
 
 
 if __name__ == "__main__":

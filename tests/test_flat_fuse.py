@@ -94,6 +94,75 @@ def test_flat_polymul_bit_exact(rng):
     assert (got == want).all()
 
 
+def test_flat_vmem_guard_model():
+    """Byte-aware VMEM guard (VERDICT round-4 item 3): the model must
+    reject the configuration that OOM'd on hardware (polymul n=2^16,
+    block_rows=8 allocated 134.34 MiB of 128 — report_out/hw_r3/
+    ab_flat.err) and accept the ones that measured fine."""
+    from agilex_ntt_tpu.ops.flat_fuse import (
+        _VMEM_BUDGET,
+        flat_vmem_bytes,
+        max_flat_block_rows,
+    )
+
+    q = find_primes(1 << 16, 1)[0]
+    plan = make_plan(1 << 16, q)
+    # the hardware OOM config must be over budget...
+    assert flat_vmem_bytes(plan, 8, "polymul") > _VMEM_BUDGET
+    # ...and the model must agree with the observed 134.34 MiB within 10%
+    assert abs(flat_vmem_bytes(plan, 8, "polymul") - 134.34 * 2**20) < (
+        0.10 * 134.34 * 2**20
+    )
+    # 8 is the minimum legal block height for padded batches, so polymul
+    # at 2^16 has NO flat configuration: api.Ring falls back to tiled
+    assert max_flat_block_rows(plan, "polymul") is None
+    # the single-transform kernels that ran at block_rows=8 stay allowed
+    assert max_flat_block_rows(plan, "fwd") == 8
+    assert max_flat_block_rows(plan, "inv") == 8
+    # polymul fits at the size below (n=2^15: smaller tables and blocks)
+    q15 = find_primes(1 << 15, 1)[0]
+    assert max_flat_block_rows(make_plan(1 << 15, q15), "polymul") == 8
+
+
+def test_flat_ring_feasibility_dispatch():
+    """A flat Ring at n=2^16 must mark polymul infeasible (falls back to
+    the tiled fused kernel) while keeping fwd/inv on the flat path; in
+    interpret mode everything stays flat (no VMEM)."""
+    from agilex_ntt_tpu import Ring
+
+    r = Ring(1 << 16, method="fourstep", backend="pallas",
+             fourstep_kernel="flat")
+    assert r._flat_fits == {"fwd": True, "inv": True, "polymul": False}
+    ri = Ring(1 << 16, method="fourstep", backend="pallas",
+              fourstep_kernel="flat", interpret=True)
+    assert all(ri._flat_fits.values())
+
+
+def test_flat_polymul_clamped_block_rows_bit_exact(rng):
+    """polymul with block_rows clamped below the request stays bit-exact
+    (the guard changes only the grid split, never the math)."""
+    n, b = 4096, 8
+    q = find_primes(n, 1)[0]
+    plan = make_plan(n, q)
+    a = rng.integers(0, q, size=(b, n), dtype=np.uint32)
+    c = rng.integers(0, q, size=(b, n), dtype=np.uint32)
+    scale = plan.n_inv * ((1 << 32) % q) % q
+    got = np.asarray(
+        polymul_fourstep_flat(
+            jnp.asarray(a), jnp.asarray(c), plan,
+            scale=scale, qinv_neg=mont_qinv_neg(q), block_rows=2,
+            interpret=True,
+        )
+    )
+    want = np.asarray(
+        polymul_fourstep_flat(
+            jnp.asarray(a), jnp.asarray(c), plan,
+            scale=scale, qinv_neg=mont_qinv_neg(q), interpret=True,
+        )
+    )
+    assert (got == want).all()
+
+
 def test_flat_explicit_block_rows(rng):
     """block_rows that does not divide the batch is snapped to a divisor."""
     n = 1024

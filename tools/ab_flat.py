@@ -114,14 +114,32 @@ def main():
         x, max(4, iters // 2),
     )
     line(tag("polymul flat-API tiled op/s"), round(B / t_api, 1), "op/s")
-    t_flat = best(
-        lambda v: flat_fuse.polymul_fourstep_flat(
-            v, v, plan, scale=scale, qinv_neg=qinv_neg, interpret=interpret
-        ),
-        x, max(4, iters // 2),
-    )
-    line(tag("polymul flat-kernel op/s"), round(B / t_flat, 1), "op/s",
-         round(t_api / t_flat, 3))
+    # the flat polymul at this size may be rejected by the byte-aware VMEM
+    # guard (round 5: it OOM'd the Mosaic allocator at n=2^16/block_rows=8,
+    # and 8 is the minimum legal block height) — record the clean rejection
+    # and price the Ring-level fallback instead of crashing the A/B
+    try:
+        t_flat = best(
+            lambda v: flat_fuse.polymul_fourstep_flat(
+                v, v, plan, scale=scale, qinv_neg=qinv_neg,
+                interpret=interpret,
+            ),
+            x, max(4, iters // 2),
+        )
+        line(tag("polymul flat-kernel op/s"), round(B / t_flat, 1), "op/s",
+             round(t_api / t_flat, 3))
+    except ValueError as e:
+        line(tag("polymul flat-kernel op/s REJECTED by VMEM guard"),
+             None, "op/s")
+        print(f"guard: {e}", file=sys.stderr)
+    from agilex_ntt_tpu import Ring
+
+    rflat = Ring(n, q, method="fourstep", backend="pallas",
+                 fourstep_kernel="flat", interpret=interpret)
+    t_ring = best(lambda v: rflat.polymul(v, v), x, max(4, iters // 2))
+    line(tag("polymul via Ring(fourstep_kernel='flat') op/s (guarded "
+             "dispatch, falls back to tiled when flat cannot fit)"),
+         round(B / t_ring, 1), "op/s", round(t_api / t_ring, 3))
 
 
 if __name__ == "__main__":

@@ -41,9 +41,10 @@ def best(fn, x, iters, trials=3):
 
 
 def line(metric, value, unit, vs=None):
+    # flush per row: a timeout SIGTERM must not swallow completed rows
     print(json.dumps({
         "metric": metric, "value": value, "unit": unit, "vs_baseline": vs,
-    }))
+    }), flush=True)
 
 
 def main():
@@ -214,6 +215,29 @@ def main():
     t = best(_ck_rot, cta.c0, max(4, iters // 4))
     line(f"CKKS rotate/s (n={ck_n}, L=3, batch={ck_b})",
          round(ck_b / t, 1), "rotation/s", None)
+
+    # BSGS homomorphic matvec at a serving shape (VERDICT round-4 item 1):
+    # full dense (n/2, n/2) complex matrix, L=3, hoisted baby steps —
+    # b+g-2 keyswitches per apply instead of n/2-1
+    mv_S = ck_n // 2
+    Mx = rngk.uniform(-1, 1, (mv_S, mv_S)) + 1j * rngk.uniform(
+        -1, 1, (mv_S, mv_S)
+    )
+    mv_keys = ctx.keygen(galois_steps=ctx.bsgs_steps())
+    mv_op = ctx.make_matvec(Mx, mv_keys, ctx.L)
+    mv_b = 32 if on_tpu else 2
+    ctv = ctx.encrypt(ctx.encode(zz[:mv_b]), mv_keys)
+
+    def _mv(v):
+        out = ctx.apply_matvec(
+            Ciphertext(v, ctv.c1, ctv.level, ctv.scale), mv_op
+        )
+        return out.c0.astype(jnp.uint32)
+
+    t = best(_mv, ctv.c0, max(2, iters // 8))
+    line(f"CKKS BSGS matvec/s ({mv_S}x{mv_S} dense M, n={ck_n}, L=3, "
+         f"batch={mv_b}, bsgs={mv_op.b}x{mv_op.g})",
+         round(mv_b / t, 1), "matvec/s", None)
 
     # RNS: 3-prime channel throughput
     rb = 2048 if on_tpu else 16

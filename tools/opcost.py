@@ -1,20 +1,28 @@
 #!/usr/bin/env python
-"""Measured per-op VPU issue costs (VERDICT round-2 item 2).
+"""Measured per-op VPU issue costs (VERDICT round-2 item 2, round-4 item 4).
 
 The roofline op census (`utils/opcount.py`) weights every ALU op at 1 issue
 slot by assumption; BASELINE.md's residual-gap explanation ("rotates cost
 ~2.2 slots") was a conjecture.  This tool measures each op class directly:
 a Pallas kernel runs a K-long dependent chain of one homogeneous op on a
 VMEM-resident (256, 512) block (128 vregs -> plenty of independent
-per-vreg chains, so throughput, not latency, is measured), at two chain
-lengths; the time difference isolates the per-op cost from fixed
-pipeline/copy overhead:
+per-vreg chains, so throughput, not latency, is measured), at SEVERAL
+chain lengths; the per-op cost is the least-squares slope of time vs K
+(round 3's two-point subtraction let one noisy endpoint produce physically
+impossible negative weights — report_out/opcost.json roll0:8 = -3.47):
 
-    slots(op) = (t(K1) - t(K0)) / (elems * (K1 - K0)) * 6.15e12
+    slots(op) = slope(t, K) / elems * 6.15e12
 
 with 6.15e12 the v5e spec vector issue rate used by tools/roofline.py.
 Ops that cannot chain alone (roll/shift/compare/select converge or fold)
-ride an `add` carrier; the reported cost subtracts the measured add.
+ride an `add` carrier; the reported cost subtracts the measured add slope.
+
+Fit hygiene (round-4 item 4): a weight is REJECTED — excluded from the
+weights file, flagged in the output line — if the carrier-subtracted value
+is negative (impossible: the carrier chain is a subset of the op chain) or
+the fit explains too little variance (R^2 < 0.95, i.e. the point scatter
+is jitter, not slope).  tools/roofline.py treats missing classes as
+1 slot (conservative) and skips roll buckets that were rejected.
 
 Chain constants arrive as runtime operands (not Python literals) so
 neither XLA nor Mosaic can fold the chain.
@@ -49,7 +57,10 @@ from agilex_ntt_tpu.utils.profiling import (  # noqa: E402
 SPEC_ISSUE = 6.15e12  # v5e vector issue rate, see tools/roofline.py
 _ON_TPU = jax.devices()[0].platform == "tpu"
 ROWS, LANES = (256, 512) if _ON_TPU else (8, 128)
-K0, K1 = (32, 288) if _ON_TPU else (2, 4)
+# chain lengths for the least-squares slope; >=5 points so one outlier
+# cannot flip the sign (round-3's two-point form did exactly that)
+KS = (32, 96, 160, 224, 288) if _ON_TPU else (2, 4)
+R2_MIN = 0.95
 
 
 def _chain_kernel(x_ref, c_ref, s_ref, o_ref, *, op, k):
@@ -108,16 +119,23 @@ def _build(op, k, interpret):
 
 
 def measure(op, x, c, s, iters, interpret):
+    """Least-squares slope of device time vs chain length K -> slots/op
+    (plus the fit's R^2 and the raw per-K times)."""
     ts = {}
-    for k in (K0, K1):
+    for k in KS:
         fn = _build(op, k, interpret)
         call = lambda v: fn(v, c, s)
         t = device_time_profiled(call, x, iters=min(iters, 8))
         if t is None:
             t = min(device_time(call, x, iters=iters) for _ in range(3))
         ts[k] = t
-    per_op = (ts[K1] - ts[K0]) / (x.size * (K1 - K0))
-    return per_op * SPEC_ISSUE, ts
+    karr = np.asarray(KS, dtype=np.float64)
+    tarr = np.asarray([ts[k] for k in KS])
+    slope, intercept = np.polyfit(karr, tarr, 1)
+    pred = slope * karr + intercept
+    sst = float(((tarr - tarr.mean()) ** 2).sum())
+    r2 = 1.0 - float(((tarr - pred) ** 2).sum()) / sst if sst > 0 else 1.0
+    return slope / x.size * SPEC_ISSUE, r2, ts
 
 
 def main():
@@ -142,18 +160,45 @@ def main():
     if interpret:  # wiring check only: tiny and meaningless timings
         ops = ["add", "mul", "roll1:8+add"]
 
-    slots = {}
+    slots = {}  # accepted weights only (what roofline consumes)
+    add_raw = None
     for op in ops:
-        raw, ts = measure(op, x, c, s, iters, interpret)
-        cost = raw - slots.get("add", 0.0) if op.endswith("+add") else raw
-        slots[op.replace("+add", "")] = cost
+        raw, r2, ts = measure(op, x, c, s, iters, interpret)
+        if op == "add":
+            if r2 < R2_MIN and not interpret:
+                # the carrier itself is unfittable: nothing downstream is
+                # trustworthy — bail rather than emit garbage weights
+                print(json.dumps({
+                    "metric": f"issue slots/op [add] ABORT: carrier fit "
+                              f"R^2 {r2:.3f} < {R2_MIN}",
+                    "value": round(raw, 3), "unit": "slots",
+                    "vs_baseline": round(r2, 4),
+                }), flush=True)
+                return
+            add_raw = raw
+        cost = raw - add_raw if op.endswith("+add") else raw
+        # Acceptance rules (round-4 item 4): a near-zero slope is a FREE op
+        # (its line is flat, so R^2 is meaningless there); a significant
+        # slope must both be positive and actually fit the points.
+        reject = None
+        if abs(cost) <= 0.25:
+            cost = max(cost, 0.0)
+        elif cost < 0:
+            reject = "negative after carrier subtraction (impossible)"
+        elif r2 < R2_MIN and not interpret:
+            reject = f"fit R^2 {r2:.3f} < {R2_MIN} (jitter, not slope)"
+        name = op.replace("+add", "")
+        if reject is None:
+            slots[name] = cost
         print(json.dumps({
-            "metric": f"issue slots/op [{op}]",
+            "metric": f"issue slots/op [{op}]"
+                      + (f" REJECTED: {reject}" if reject else ""),
             "value": round(cost, 3), "unit": "slots",
-            "vs_baseline": None,
+            "vs_baseline": round(r2, 4),
         }), flush=True)
 
-    print(json.dumps({"metric": "opcost weights", "value": {
+    print(json.dumps({"metric": "opcost weights (accepted fits only)",
+                      "value": {
         k: round(v, 3) for k, v in slots.items()
     }, "unit": "slots", "vs_baseline": None}), flush=True)
     if "--write" in sys.argv and not interpret:

@@ -269,17 +269,46 @@ def main():
         return
     m_ops = measured_ops_per_elem_stage(census, weights, census["ts"])
     if m_ops is None:
+        print(json.dumps({
+            "metric": "measured-weight utilization UNAVAILABLE: every "
+                      "roll1 bucket was rejected by the opcost fit hygiene "
+                      "(see opcost.json); spec-ceiling line above stands",
+            "value": None, "unit": "fraction", "vs_baseline": None,
+        }))
         return
     util_m = positional * m_ops / VPU_ISSUE_OPS
     flag = " (>1.0: weights or ceiling misestimated)" if util_m > 1.0 else ""
     print(json.dumps({
-        "metric": f"VPU utilization vs MEASURED weighted ceiling "
+        "metric": f"VPU utilization vs ABSOLUTE measured-weight ceiling "
                   f"({m_ops:.1f} weighted slots/elem/stage from "
                   f"report_out/opcost.json), RAW uncapped{flag} "
-                  "(the line that settles the >= 0.90 target)",
+                  "(diagnostic: the chain benchmark carries a common-mode "
+                  "inefficiency — see the add-normalized line)",
         "value": round(util_m, 3), "unit": "fraction",
         "vs_baseline": round(VPU_ISSUE_OPS / (m_ops * N * (N.bit_length() - 1)), 1),
     }))
+    # Add-normalized calibration (round-5, VERDICT item 4): the homogeneous
+    # chain microbenchmark under-issues by a common-mode factor (its fitted
+    # "add" costs ~3.5 "slots", yet an add is 1 issue slot by definition).
+    # Dividing every weight by the measured add cancels the factor, leaving
+    # the RELATIVE costs (rolls ~3x an add, whole-vreg rolls free) — the
+    # defensible form of the measured-weight ceiling.
+    add_w = weights.get("add")
+    if add_w and add_w > 0:
+        m_rel = m_ops / add_w
+        util_rel = positional * m_rel / VPU_ISSUE_OPS
+        flag = " (>1.0: ceiling misestimated)" if util_rel > 1.0 else ""
+        print(json.dumps({
+            "metric": f"VPU utilization vs ADD-NORMALIZED measured-weight "
+                      f"ceiling ({m_rel:.1f} relative slots/elem/stage; "
+                      f"common-mode chain factor {add_w:.2f} divided out), "
+                      f"RAW uncapped{flag} (the line that settles the "
+                      ">= 0.90 target)",
+            "value": round(util_rel, 3), "unit": "fraction",
+            "vs_baseline": round(
+                VPU_ISSUE_OPS / (m_rel * N * (N.bit_length() - 1)), 1
+            ),
+        }))
 
 
 if __name__ == "__main__":

@@ -44,12 +44,14 @@ def main():
             )
         logn = n.bit_length() - 1
         fpga = 400e6 / (logn * n / 16) if n <= 32768 else None
+        # flush per row: a timeout SIGTERM must not swallow completed rows
+        # (round-3's sweep.out lost everything past n=8192 to buffering)
         print(json.dumps({
             "metric": f"fwd NTT/s (n={n}, batch={b}, {r.method})",
             "value": round(b / t, 1),
             "unit": "NTT/s",
             "vs_baseline": round(b / t / fpga, 1) if fpga else None,
-        }))
+        }), flush=True)
 
 
 if __name__ == "__main__":
