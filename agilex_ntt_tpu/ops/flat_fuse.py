@@ -125,18 +125,28 @@ def _fit_rows(plan: FourStepPlan, batch: int, block_rows: Optional[int],
     br = _pick_rows(batch, block_rows)
     if interpret:
         return br
-    while br and not (
-        flat_vmem_bytes(plan, br, op) <= _VMEM_BUDGET
-        and (br % 8 == 0 or br == batch)
-        and batch % br == 0
-    ):
+
+    def ok(r):
+        return (
+            flat_vmem_bytes(plan, r, op) <= _VMEM_BUDGET
+            and (r % 8 == 0 or r == batch)
+            and batch % r == 0
+        )
+
+    while br and not ok(br):
         br -= 1
     if not br:
+        # nothing legal at or below the request: snap UP to the smallest
+        # legal block height (a sub-8 request on a padded batch was never
+        # runnable anyway — pre-guard it died in the Pallas lowering)
+        floor = batch if batch < 8 or batch % 8 else 8
+        if ok(floor):
+            return floor
         raise ValueError(
-            f"flat four-step {op} at n={plan.n} does not fit VMEM at any "
-            f"legal block_rows (modeled "
-            f"{flat_vmem_bytes(plan, min(8, batch), op) >> 20} MiB at "
-            f"block_rows={min(8, batch)}, budget {_VMEM_BUDGET >> 20} MiB); "
+            f"flat four-step {op} at n={plan.n} has no legal block_rows "
+            f"within the VMEM budget (modeled "
+            f"{flat_vmem_bytes(plan, floor, op) >> 20} MiB at the minimum "
+            f"legal block_rows={floor}, budget {_VMEM_BUDGET >> 20} MiB); "
             "use the tiled kernels (fourstep_kernel='tiled')"
         )
     return br

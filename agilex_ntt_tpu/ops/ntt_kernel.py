@@ -144,12 +144,20 @@ def _pick_block_rows(batch: int, width: int, requested: Optional[int]) -> int:
         # overhead dominates (measured 1.4x at width 256); wide transforms
         # bottom out at 64 rows
         requested = min(512, max(DEFAULT_BLOCK_ROWS, (1 << 20) // (4 * width)))
-    # snap to the largest divisor of batch <= requested (halving could
-    # collapse a non-dividing request like 48@batch=64 all the way to
-    # 1-row blocks)
+    # snap to the largest LEGAL divisor of batch <= requested (halving
+    # could collapse a non-dividing request like 48@batch=64 all the way
+    # to 1-row blocks).  Legal means the Pallas TPU block-shape rule: the
+    # sublane dim must be a multiple of 8 or equal the array dim — batch
+    # 2072 once snapped to its divisor 74 and died in the Mosaic lowering
+    # (round-5 suite, the BSGS matvec bake's 45x46-diagonal transform).
     b = min(requested, batch)
-    while batch % b:
+    while b and not (batch % b == 0 and (b % 8 == 0 or b == batch)):
         b -= 1
+    if not b:
+        # batch has no multiple-of-8 divisor <= requested (an unpadded
+        # odd batch from a direct kernel call): one whole-array block is
+        # always shape-legal (may cost VMEM, never a lowering error)
+        b = batch
     if explicit and requested <= batch and b != requested:
         # silent snapping is fine for the auto-picked default and for the
         # benign batch < block_rows case (a ring tuned for big batches

@@ -35,3 +35,14 @@ def rng():
 def params_for(n: int, idx: int = 0):
     q = find_primes(n, idx + 1)[idx]
     return make_params(n, q)
+
+
+def require_devices(k: int) -> None:
+    """Skip the calling test unless k devices exist.  Mesh tests need the
+    8-virtual-device CPU harness; on the real 1-chip TPU
+    (NTT_TPU_REAL_DEVICE=1) they must skip, not fail (caught by the
+    round-5 on-chip run: round-3/4 sharded tests raised instead)."""
+    import jax
+
+    if len(jax.devices()) < k:
+        pytest.skip(f"needs {k} (virtual) devices")

@@ -8,6 +8,8 @@ modular-arithmetic code with the device path under test.
 import numpy as np
 import pytest
 
+from conftest import require_devices
+
 from agilex_ntt_tpu import RNSRing
 from agilex_ntt_tpu.params import find_primes
 
@@ -119,6 +121,7 @@ def test_sharded_base_convert_and_rescale_match_single_chip(rings):
     from agilex_ntt_tpu.parallel import ShardedRNSRing, make_mesh
 
     src, dst = rings
+    require_devices(2)
     mesh = make_mesh(dp=2)
     srns = ShardedRNSRing(src, mesh, dp_axis="dp")
     rng = np.random.default_rng(15)

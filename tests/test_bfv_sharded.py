@@ -13,6 +13,8 @@ beyond-reference distributed serving path for the exact scheme.
 import numpy as np
 import pytest
 
+from conftest import require_devices
+
 from agilex_ntt_tpu.parallel import make_mesh
 from agilex_ntt_tpu.schemes.bfv import BFVContext
 
@@ -35,6 +37,7 @@ def base():
 
 @pytest.fixture(scope="module")
 def mctx():
+    require_devices(4)
     mesh = make_mesh(dp=4)
     return BFVContext(N, num_primes=3, mesh=mesh)
 

@@ -8,6 +8,8 @@ one, so decryption recovers the message mod t with no approximation.
 import numpy as np
 import pytest
 
+from conftest import require_devices
+
 from agilex_ntt_tpu.schemes.bgv import BGVContext
 
 N = 256
@@ -137,6 +139,7 @@ def test_mesh_sharded_matches_single_chip(ctx, keys, rng):
     # ModDown: byte-equal to the single-chip path, still exact
     from agilex_ntt_tpu.parallel import make_mesh
 
+    require_devices(4)
     mctx = BGVContext(N, num_primes=3, mesh=make_mesh(dp=4))
     m1, m2 = mat(ctx, rng, (4,)), mat(ctx, rng, (4,))
     c1 = ctx.encrypt(ctx.encode(m1), keys)

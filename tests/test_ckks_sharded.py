@@ -11,6 +11,8 @@ is the beyond-reference distributed serving path.)
 import numpy as np
 import pytest
 
+from conftest import require_devices
+
 from agilex_ntt_tpu.parallel import make_mesh
 from agilex_ntt_tpu.schemes import CKKSContext
 
@@ -33,6 +35,7 @@ def base():
 
 @pytest.fixture(scope="module")
 def mctx():
+    require_devices(4)
     mesh = make_mesh(dp=4)
     return CKKSContext(N, num_primes=3, mesh=mesh)
 

@@ -7,6 +7,8 @@ existing RNS tests); no modular code is shared with the device path.
 import numpy as np
 import pytest
 
+from conftest import require_devices
+
 from agilex_ntt_tpu import Ring, RNSRing
 from agilex_ntt_tpu.ops import gadget
 from agilex_ntt_tpu.params import find_primes
@@ -154,6 +156,7 @@ def test_sharded_gadget_decompose_matches_single_chip(ring6):
 
     src = ring6
     qs_dst = tuple(src.qs) + tuple(find_primes(src.n, 8)[6:])
+    require_devices(2)
     mesh = make_mesh(dp=2)
     srns = ShardedRNSRing(src, mesh, dp_axis="dp")
     rng = np.random.default_rng(25)

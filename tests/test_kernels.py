@@ -91,6 +91,20 @@ def test_block_rows_grid(rng):
     assert (a == G.fwd_ntt_u32(x, pp)).all()
 
 
+def test_pick_block_rows_legal_shapes():
+    """The picked block height must satisfy the Pallas TPU block rule
+    (multiple of 8, or the whole batch).  batch=2072 (= 8*7*37, the BSGS
+    matvec bake's padded 45x46 diagonal count) once snapped to its
+    divisor 74 and died in the Mosaic lowering (round-5 suite run)."""
+    pick = K._pick_block_rows
+    assert pick(2072, 4096, None) == 56          # largest 8-multiple divisor
+    for batch in (8, 16, 56, 64, 2072, 4096, 2070, 3):
+        for req in (None, 8, 48, 74, 128):
+            b = pick(batch, 4096, req)
+            assert batch % b == 0
+            assert b % 8 == 0 or b == batch, (batch, req, b)
+
+
 def test_polymul_fused_kernel_matches_golden(rng):
     """One-kernel polymul (fwd x2 + Montgomery pointwise + scaled inverse)."""
     from agilex_ntt_tpu.ops.modmul import mont_qinv_neg

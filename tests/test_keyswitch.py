@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+from conftest import require_devices
+
 import jax.numpy as jnp
 
 from agilex_ntt_tpu import RNSRing
@@ -185,6 +187,7 @@ def test_sharded_keyswitch_and_mod_down_match_single_chip(ext_pair):
     )
     single_md = np.asarray(ext.mod_down(ext_res, 2))
 
+    require_devices(2)
     mesh = make_mesh(dp=2)
     srq = ShardedRNSRing(rq, mesh, dp_axis="dp")
     sext = ShardedRNSRing(ext, mesh, dp_axis="dp")
@@ -291,6 +294,7 @@ def test_sharded_hoisted_keyswitch_matches_single_chip(ext_pair):
         for _ in ks
     ])
     single = np.asarray(rq.hoisted_keyswitch(x, ksks, ks, ext, dnum))
+    require_devices(2)
     mesh = make_mesh(dp=2)
     srq = ShardedRNSRing(rq, mesh, dp_axis="dp")
     got = np.asarray(
@@ -476,6 +480,7 @@ def test_sharded_hoisted_linear_sum_matches_single_chip(ext_pair):
     c0, c1, pts, kb, ka = _linear_sum_inputs(rq, ext, ks, dnum, batch, 73)
     w0, w1 = rq.hoisted_linear_sum(c0, c1, pts, kb, ka, ks, ext, dnum)
 
+    require_devices(2)
     mesh = make_mesh(dp=2)
     srq = ShardedRNSRing(rq, mesh, dp_axis="dp")
     g0, g1 = srq.hoisted_linear_sum(

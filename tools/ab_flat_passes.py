@@ -8,8 +8,9 @@ tool isolates where the flat kernel's time goes, on hardware:
 
   * column-pass-only, row-pass-only, and twiddle-only flat kernels
     (same block shape, same tables) — which pass eats the deficit;
-  * a block_rows sweep {2, 4, 8} — is the 512-vreg live block spilling
-    (the tiled kernel's per-step working set is one 64-vreg matrix);
+  * the SAME isolation for the tiled kernel's passes (axis-0 column
+    stages on the (n1, n2) matrix vs the flat kernel's full-row lane
+    rolls + full-width tables) — the per-pass head-to-head;
   * the tiled full-fuse kernel and the flat kernel as references.
 
 The sum of the three isolated kernels overshoots the fused time by the
@@ -34,9 +35,14 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from agilex_ntt_tpu.ops import flat_fuse, fourstep  # noqa: E402
 from agilex_ntt_tpu.ops import stage_tables as st  # noqa: E402
+from agilex_ntt_tpu.ops.fourstep import (  # noqa: E402
+    _col_reader,
+    _col_tabs_T,
+    _full_specs,
+)
 from agilex_ntt_tpu.ops.modmul import shoup_mulmod_lazy_presplit  # noqa: E402
 from agilex_ntt_tpu.ops.ntt_kernel import _pallas_roll, _row_reader  # noqa: E402
-from agilex_ntt_tpu.ops.stage_math import fwd_stages  # noqa: E402
+from agilex_ntt_tpu.ops.stage_math import fwd_stages, fwd_stages_axis0  # noqa: E402
 from agilex_ntt_tpu.params import find_primes  # noqa: E402
 from agilex_ntt_tpu.utils.profiling import (  # noqa: E402
     device_time,
@@ -116,6 +122,60 @@ def _part_call(plan, part, br, interpret):
     return call
 
 
+def _tiled_part_kernel(x_ref, cw, cp0, cp1, rw, rp0, rp1, tw, tp0, tp1,
+                       o_ref, *, ts1, ts2, q, part):
+    v = x_ref[0]
+    if part in ("col", "col+tw"):
+        v = fwd_stages_axis0(
+            v, _col_reader(cw), _col_reader(cp0), _col_reader(cp1),
+            ts=ts1, q=q, final_reduce=True, roll=_pallas_roll,
+        )
+    if part in ("tw", "col+tw"):
+        v = shoup_mulmod_lazy_presplit(v, tw[:], tp0[:], tp1[:], q)
+    if part == "row":
+        v = fwd_stages(
+            v, _row_reader(rw), _row_reader(rp0), _row_reader(rp1),
+            ts=ts2, q=q, final_reduce=True, roll=_pallas_roll,
+        )
+    o_ref[0] = v
+
+
+@functools.lru_cache(maxsize=32)
+def _tiled_part_call(plan, part, interpret):
+    n1, n2 = plan.n1, plan.n2
+    cw, cp0, cp1 = _col_tabs_T(st.fwd_stage_tables(plan.col))
+    rtabs = st.fwd_stage_tables(plan.row)
+    ts1 = tuple(n1 >> (s + 1) for s in range(n1.bit_length() - 1))
+    ts2 = tuple(n2 >> (s + 1) for s in range(n2.bit_length() - 1))
+    x_spec, ctab, rtab, stab = _full_specs(plan)
+    kern = functools.partial(
+        _tiled_part_kernel, ts1=ts1, ts2=ts2, q=plan.q, part=part
+    )
+    args = (
+        jnp.asarray(cw), jnp.asarray(cp0), jnp.asarray(cp1),
+        jnp.asarray(rtabs.w), jnp.asarray(rtabs.p0), jnp.asarray(rtabs.p1),
+        jnp.asarray(plan.tw), jnp.asarray(plan.tp0), jnp.asarray(plan.tp1),
+    )
+
+    @jax.jit
+    def call(x3):
+        return pl.pallas_call(
+            kern,
+            grid=(x3.shape[0],),
+            in_specs=[x_spec, ctab, ctab, ctab, rtab, rtab, rtab,
+                      stab, stab, stab],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(x3.shape, jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(x3, *args)
+
+    return call
+
+
 def main():
     smoke = "--smoke" in sys.argv
     if smoke:
@@ -155,15 +215,12 @@ def main():
         line(f"flat {part} pass only (br=8, own HBM round trip)",
              round(t * 1e3, 4), "ms/call", round(t / t_flat, 3))
 
-    # block_rows sweep on the fused flat kernel (vreg-pressure probe)
-    for br in (2, 4, 8):
-        t = best(
-            lambda v: flat_fuse.fwd_ntt_fourstep_flat(
-                v, plan, block_rows=br, interpret=interpret
-            ), x, iters,
-        )
-        line(f"flat fused fwd block_rows={br}", round(t * 1e3, 4),
-             "ms/call", round(t / t_kern, 3))
+    # the same isolation for the TILED kernel's passes (head-to-head)
+    for part in ("col", "tw", "row"):
+        call = _tiled_part_call(plan, part, interpret)
+        t = best(call, x3, iters)
+        line(f"tiled {part} pass only (own HBM round trip)",
+             round(t * 1e3, 4), "ms/call", round(t / t_kern, 3))
 
 
 if __name__ == "__main__":

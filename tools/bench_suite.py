@@ -40,6 +40,13 @@ def best(fn, x, iters, trials=3):
     return min(device_time(fn, x, iters=iters) for _ in range(trials))
 
 
+def hb(msg):
+    # stderr heartbeat: locates a hang (the axon tunnel can wedge a process
+    # forever at first device contact — see CLAUDE.md) without polluting
+    # the JSON stdout stream
+    print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
 def line(metric, value, unit, vs=None):
     # flush per row: a timeout SIGTERM must not swallow completed rows
     print(json.dumps({
@@ -49,6 +56,7 @@ def line(metric, value, unit, vs=None):
 
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
+    hb("devices up")
     key = jax.random.PRNGKey(0)
 
     # forward + inverse + polymul at the headline size
@@ -56,6 +64,7 @@ def main():
     iters = 20 if on_tpu else 2
     r = Ring(n)
     x = jax.random.randint(key, (B, n), 0, r.q, dtype=jnp.uint32)
+    hb("first measurement starting (fwd n=4096)")
     t = best(lambda v: r.ntt(v), x, iters)
     line(f"fwd NTT/s (n={n}, batch={B})", round(B / t, 1), "NTT/s",
          round(B / t / fpga_ntts_per_sec(n), 2))
@@ -64,6 +73,7 @@ def main():
     t = best(lambda v: r.polymul(v, v), x, max(4, iters // 2))
     line(f"polymul/s (n={n}, batch={B})", round(B / t, 1), "polymul/s", None)
 
+    hb("headline section done; large-N next")
     # large-N four-step (beyond the reference's 32768 ceiling), flat and
     # tiled-domain (the chained-pipeline rate: no per-op rank-2<->3 relayout)
     for ln, lb in ((16, 512), (20, 32)):
@@ -80,6 +90,7 @@ def main():
         line(f"fwd NTT/s (n=2^{ln}, batch={bb}, tiled-domain)",
              round(bb / t, 1), "NTT/s", None)
 
+    hb("keyswitch section next")
     # key-switch-style fused inner product
     kd = 3
     xd = jax.random.randint(key, (B // 8, kd, n), 0, r.q, dtype=jnp.uint32)
@@ -181,6 +192,7 @@ def main():
     line(f"linear-transform terms/s composed (nk={nk}, dnum={dnum}, "
          f"n={ks_n}, batch={lb})", round(nk * lb / t, 1), "term/s", None)
 
+    hb("CKKS section next")
     # CKKS evaluator ops end to end (scheme layer over the fused kernels):
     # ciphertext multiply + hoisted relinearization, and rotation — the
     # serving ops an FHE deployment actually dispatches.  fn must be
@@ -216,6 +228,7 @@ def main():
     line(f"CKKS rotate/s (n={ck_n}, L=3, batch={ck_b})",
          round(ck_b / t, 1), "rotation/s", None)
 
+    hb("BSGS matvec next")
     # BSGS homomorphic matvec at a serving shape (VERDICT round-4 item 1):
     # full dense (n/2, n/2) complex matrix, L=3, hoisted baby steps —
     # b+g-2 keyswitches per apply instead of n/2-1
@@ -239,6 +252,7 @@ def main():
          f"batch={mv_b}, bsgs={mv_op.b}x{mv_op.g})",
          round(mv_b / t, 1), "matvec/s", None)
 
+    hb("RNS section next")
     # RNS: 3-prime channel throughput
     rb = 2048 if on_tpu else 16
     rns = RNSRing(4096, num_primes=3)
