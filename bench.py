@@ -81,8 +81,65 @@ def main():
         "unit": "NTT/s",
         "vs_baseline": round(ntts_per_sec / BASELINE_NTTS_PER_SEC, 2),
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+
+def _run_supervised() -> int:
+    """Re-exec the bench in a monitored child, retrying tunnel wedges.
+
+    A process that dials the tunneled TPU near another TPU process's
+    exit can hang FOREVER (threads parked, CPU frozen — CLAUDE.md); a
+    fresh process minutes later works.  Since this file is the driver's
+    one-shot contract, it supervises itself: each attempt gets a hard
+    deadline, and an attempt that dies or stalls without output is
+    retried after a settle delay.  Healthy runs are unaffected (the
+    child prints the same single JSON line, passed through).
+    """
+    import os
+    import select
+    import subprocess
+    import sys as _sys
+
+    got_output = False
+    for attempt in range(1, 4):
+        if attempt > 1:
+            print(f"# bench attempt {attempt - 1} produced no output; "
+                  "settling 90s and retrying", file=_sys.stderr, flush=True)
+            time.sleep(90)
+        p = subprocess.Popen(
+            [_sys.executable, "-u", os.path.abspath(__file__)],
+            env={**os.environ, "NTT_BENCH_CHILD": "1"},
+            stdout=subprocess.PIPE, stderr=_sys.stderr, text=True,
+        )
+        deadline = time.monotonic() + 900
+        while True:
+            ready, _, _ = select.select([p.stdout], [], [], 15)
+            if ready:
+                ln = p.stdout.readline()
+                if ln:
+                    got_output = True
+                    print(ln, end="", flush=True)
+                    continue
+            if p.poll() is not None:
+                break
+            if time.monotonic() > deadline:
+                p.kill()
+                break
+        p.wait()
+        rest = p.stdout.read()
+        if rest:
+            got_output = True
+            print(rest, end="", flush=True)
+        if got_output:
+            return p.returncode or 0
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    import os as _os
+    import sys as _sys2
+
+    if _os.environ.get("NTT_BENCH_CHILD") == "1":
+        main()
+    else:
+        _sys2.exit(_run_supervised())
