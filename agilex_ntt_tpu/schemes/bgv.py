@@ -188,3 +188,26 @@ class BGVContext(CKKSContext):
     def _diag_slots(self, v) -> np.ndarray:
         # the same diagonal multiplies both rows (row-wise matvec)
         return np.stack([v, v])
+
+    # -- poly_eval hooks -------------------------------------------------------
+    # poly_eval itself inherits (the BSGS Paterson-Stockmeyer recursion is
+    # scheme-agnostic); these three hooks swap the scale algebra: the BGV
+    # "scale" is a mod-t correction factor (decode MULTIPLIES by it), so a
+    # constant plaintext dictated to scale s carries residues c / s mod t
+    # and everything stays exact.
+
+    def _rescale_factor(self, level: int) -> Fraction:
+        """BGV modulus switch MULTIPLIES the correction by the dropped
+        prime (see :meth:`rescale`)."""
+        return Fraction(self.qs[level - 1])
+
+    def _poly_eval_scale(self) -> Fraction:
+        return Fraction(1)
+
+    def _const_pt(self, c, level: int, scale: Fraction,
+                  nbatch: int = 0) -> Plaintext:
+        s_mod_t = (scale.numerator
+                   * pow(scale.denominator, -1, self.t)) % self.t
+        f = (int(c) % self.t) * pow(s_mod_t, -1, self.t) % self.t
+        mat = np.full((1,) * nbatch + (2, self.n // 2), f, dtype=np.int64)
+        return self.encode(mat, level=level, scale=scale)

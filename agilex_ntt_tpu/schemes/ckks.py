@@ -1002,3 +1002,180 @@ class CKKSContext:
                 )
             out = inner if out is None else self.add(out, inner)
         return out
+
+    # -- evaluator: homomorphic polynomial evaluation -------------------------
+
+    def _rescale_factor(self, level: int) -> Fraction:
+        """Exact factor :meth:`rescale` applies to ``scale`` at ``level``.
+
+        CKKS divides by the dropped prime; BGV overrides (the mod switch
+        multiplies the tracked correction factor instead)."""
+        return Fraction(1, self.qs[level - 1])
+
+    def _poly_eval_scale(self) -> Fraction:
+        """Dictated output scale for :meth:`poly_eval`.
+
+        ~Delta^2 keeps every leaf's plaintext encode scale near Delta
+        (full encoding precision); BGV overrides with 1 (exact mod t)."""
+        return Fraction(self.delta) ** 2
+
+    def _const_pt(self, c, level: int, scale: Fraction,
+                  nbatch: int = 0) -> Plaintext:
+        """Constant-``c`` plaintext at a DICTATED exact (level, scale).
+
+        This free exact parameter is what lets poly_eval's recursion
+        dictate every subtree's output scale so additions align with no
+        scale-matching multiplies.  ``nbatch`` singleton axes make the
+        residues broadcast against a batched ciphertext.  BGV overrides
+        (its scale is a mod-t correction factor, so the residues carry
+        c / scale)."""
+        z = np.full((1,) * nbatch + (self.n // 2,), complex(c))
+        return self.encode(z, level=level, scale=scale)
+
+    def _zero_ct(self, like: Ciphertext, level: int,
+                 scale: Fraction) -> Ciphertext:
+        """An encryption-free zero at (level, scale), placed like ``like``
+        (sub of a value with itself keeps mesh sharding)."""
+        low = self.mod_down_to(like, level)
+        r = self.ring(level)
+        return Ciphertext(
+            r.sub(low.c0, low.c0), r.sub(low.c1, low.c1), level, scale
+        )
+
+    def poly_eval(self, ct: Ciphertext, coeffs: Sequence,
+                  keys: KeySet) -> Ciphertext:
+        """Evaluate ``sum_i coeffs[i] * m**i`` on the slots (BSGS
+        Paterson-Stockmeyer, depth-optimal giant splitting).
+
+        The workhorse for approximating non-linear functions (activation
+        polynomials, bootstrapping's EvalMod); the reference stops at the
+        forward transform this op dispatches
+        (`/root/reference/src/kernel/ntt.cpp:86-506`).
+
+        Structure: baby powers ``m, .., m^(k-1)`` (balanced binary, depth
+        ceil(log2 k)), giant powers ``m^(k*2^j)`` by squaring, then the
+        recursion ``p = q(m) * m^(k*2^j) + r(m)`` — about ``2*sqrt(d)``
+        ciphertext multiplies at multiplicative depth ``ceil(log2 d)``.
+
+        Scale discipline (the part that makes the additions exact): every
+        recursion node DICTATES its subtree's output scale as an exact
+        Fraction; leaves realize any dictated scale for free by choosing
+        each coefficient plaintext's encode scale as
+        ``dictated / power.scale``.  A giant node dictates its quotient
+        branch ``S / (g.scale * rescale_factor)`` so product and remainder
+        land at identical (level, scale) and add with no adjustment.
+        Returns at scale ~Delta^2 (the product convention, like
+        :meth:`multiply` before :meth:`rescale`); rescale once to return
+        to ~Delta.  Raises ValueError when the prime chain is too short
+        for the degree.
+        """
+        cs = list(coeffs)
+        while len(cs) > 1 and cs[-1] == 0:
+            cs.pop()
+        d = len(cs) - 1
+        if d < 0:
+            raise ValueError("coeffs must be non-empty")
+        S = self._poly_eval_scale()
+        nb = ct.c0.ndim - 2  # singleton axes for constant-pt broadcasting
+        if d == 0:
+            out = self._zero_ct(ct, ct.level, S)
+            if cs[0] != 0:
+                out = self.add_plain(
+                    out, self._const_pt(cs[0], out.level, S, nb)
+                )
+            return out
+
+        # -- level plan (BEFORE building any power: a too-short chain must
+        # raise cleanly, not die at level 0 mid-squaring).  Predicted depths
+        # are exact: balanced-binary babies sit ceil(log2 i) levels below
+        # the input, giant j sits log2(k) + j below.
+        k = 1 << max(1, math.ceil(math.log2(math.sqrt(d + 1))))
+        kappa = k.bit_length() - 1
+        ceilings: List[int] = []
+
+        def plan(sl: List, off: int) -> None:
+            deg = len(sl) - 1
+            if all(c == 0 for c in sl):
+                return
+            if deg < k:
+                used = [i for i in range(1, deg + 1) if sl[i] != 0]
+                if used:
+                    depth = max((i - 1).bit_length() for i in used)
+                    ceilings.append(ct.level - depth - off)
+                return
+            j = (deg // k).bit_length() - 1
+            ceilings.append(ct.level - kappa - j - 1 - off)
+            s = k << j
+            plan(sl[s:], off + 1)    # quotient branch, one level up
+            plan(sl[:s], off)        # remainder branch (degree < s)
+
+        plan(cs, 0)
+        l_out = min(ceilings)  # non-empty: cs[d] != 0 after the trim
+        if l_out < 1:
+            raise ValueError(
+                f"degree {d} at level {ct.level} needs {1 - l_out} more "
+                f"prime level(s) (split k={k}); increase num_primes"
+            )
+
+        # -- power basis ----------------------------------------------------
+        babies: Dict[int, Ciphertext] = {1: ct}
+
+        def pw(i: int) -> Ciphertext:
+            hit = babies.get(i)
+            if hit is not None:
+                return hit
+            h = i // 2
+            a, b = pw(i - h), pw(h)
+            lvl = min(a.level, b.level)
+            a, b = self.mod_down_to(a, lvl), self.mod_down_to(b, lvl)
+            out = self.rescale(
+                self.square(a, keys) if i - h == h
+                else self.multiply(a, b, keys)
+            )
+            babies[i] = out
+            return out
+
+        for i in range(2, k):
+            pw(i)
+        giants: List[Ciphertext] = []
+        if k <= d:
+            giants.append(self.rescale(self.square(pw(k // 2), keys)))
+            while k << len(giants) <= d:
+                giants.append(self.rescale(self.square(giants[-1], keys)))
+
+        # -- recursion ------------------------------------------------------
+        def rec(sl: List, level: int, scale: Fraction) -> Ciphertext:
+            deg = len(sl) - 1
+            if all(c == 0 for c in sl):
+                return self._zero_ct(ct, level, scale)
+            if deg < k:
+                acc = None
+                for i in range(1, deg + 1):
+                    if sl[i] == 0:
+                        continue
+                    p = self.mod_down_to(babies[i], level)
+                    term = self.mul_plain(
+                        p, self._const_pt(sl[i], level, scale / p.scale, nb)
+                    )
+                    acc = term if acc is None else self.add(acc, term)
+                if acc is None:
+                    acc = self._zero_ct(ct, level, scale)
+                if sl[0] != 0:
+                    acc = self.add_plain(
+                        acc, self._const_pt(sl[0], level, scale, nb)
+                    )
+                return acc
+            j = (deg // k).bit_length() - 1
+            s = k << j
+            g = self.mod_down_to(giants[j], level + 1)
+            sq = scale / (g.scale * self._rescale_factor(level + 1))
+            q_ct = rec(sl[s:], level + 1, sq)
+            prod = self.rescale(self.multiply(q_ct, g, keys))
+            if prod.level != level or prod.scale != scale:
+                raise AssertionError(
+                    "poly_eval scale dictation broke: "
+                    f"{prod.level}/{prod.scale} != {level}/{scale}"
+                )
+            return self.add(prod, rec(sl[:s], level, scale))
+
+        return rec(cs, l_out, S)

@@ -125,3 +125,14 @@ def test_matvec_matches(base, mctx):
     same(got, want)
     dec = ctx.decode(ctx.decrypt(ctx.rescale(want), mv_keys))
     np.testing.assert_allclose(dec, (M @ z.T).T, atol=5e-3)
+
+
+def test_poly_eval_matches(base, mctx):
+    # the BSGS Paterson-Stockmeyer recursion composes only mesh-tested
+    # ops (multiply/rescale/mod_down/mul_plain/add_plain/add), so the
+    # sharded result must be byte-equal, dictated Fraction scale included
+    ctx, keys, z, w, ct1, ct2 = base
+    coeffs = [0.3, -0.7, 0.2, 0.4]
+    want = ctx.poly_eval(ct1, coeffs, keys)
+    got = mctx.poly_eval(mctx.place(ct1), coeffs, keys)
+    same(got, want)
