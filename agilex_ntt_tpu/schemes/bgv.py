@@ -204,8 +204,15 @@ class BGVContext(CKKSContext):
     def _poly_eval_scale(self) -> Fraction:
         return Fraction(1)
 
+    def _poly_eval_min_level(self) -> int:
+        return 1  # exact mod t: any level decodes
+
     def _const_pt(self, c, level: int, scale: Fraction,
                   nbatch: int = 0) -> Plaintext:
+        if c != int(c):
+            raise ValueError(
+                f"BGV coefficients must be integers mod t, got {c!r}"
+            )
         s_mod_t = (scale.numerator
                    * pow(scale.denominator, -1, self.t)) % self.t
         f = (int(c) % self.t) * pow(s_mod_t, -1, self.t) % self.t

@@ -1019,6 +1019,16 @@ class CKKSContext:
         (full encoding precision); BGV overrides with 1 (exact mod t)."""
         return Fraction(self.delta) ** 2
 
+    def _poly_eval_min_level(self) -> int:
+        """Lowest level a poly_eval result may land on and still decode.
+
+        The Delta^2 output convention needs Q_level >> Delta^2 of
+        headroom — one ~30-bit prime is NOT enough (m*Delta^2 ~ 2^58
+        wraps mod Q_1 ~ 2^30 and decodes to garbage), two are.  BGV
+        overrides with 1: its scale is an exact mod-t factor, any level
+        decodes."""
+        return 2
+
     def _const_pt(self, c, level: int, scale: Fraction,
                   nbatch: int = 0) -> Plaintext:
         """Constant-``c`` plaintext at a DICTATED exact (level, scale).
@@ -1067,7 +1077,9 @@ class CKKSContext:
         Returns at scale ~Delta^2 (the product convention, like
         :meth:`multiply` before :meth:`rescale`); rescale once to return
         to ~Delta.  Raises ValueError when the prime chain is too short
-        for the degree.
+        for the degree — including the decode headroom the Delta^2
+        convention needs (the result level must satisfy Q_level >>
+        Delta^2, i.e. level >= 2 for CKKS; BGV is exact at level 1).
         """
         cs = list(coeffs)
         while len(cs) > 1 and cs[-1] == 0:
@@ -1085,39 +1097,71 @@ class CKKSContext:
                 )
             return out
 
-        # -- level plan (BEFORE building any power: a too-short chain must
-        # raise cleanly, not die at level 0 mid-squaring).  Predicted depths
-        # are exact: balanced-binary babies sit ceil(log2 i) levels below
-        # the input, giant j sits log2(k) + j below.
+        # -- node classifier, shared by the plan and the recursion so the
+        # two walks cannot disagree.  Kinds: leaf (deg < k); skipq (zero
+        # quotient — the giant term vanishes, walk only the remainder);
+        # constq (degree-0 quotient — c_s * m^s is a PLAINTEXT multiply of
+        # the giant: no relinearization, no level consumed); giant (the
+        # full q(m) * m^s + r(m) node).
         k = 1 << max(1, math.ceil(math.log2(math.sqrt(d + 1))))
         kappa = k.bit_length() - 1
+
+        def classify(sl: List) -> Tuple[str, int, int]:
+            deg = len(sl) - 1
+            if deg < k:
+                return ("leaf", 0, 0)
+            j = (deg // k).bit_length() - 1
+            s = k << j
+            if all(c == 0 for c in sl[s:]):
+                return ("skipq", j, s)
+            if deg == s:
+                return ("constq", j, s)
+            return ("giant", j, s)
+
+        # -- level plan (BEFORE building any power: a too-short chain must
+        # raise cleanly, not die at level 0 mid-squaring).  Predicted
+        # depths are exact: balanced-binary babies sit ceil(log2 i) levels
+        # below the input, giant j sits log2(k) + j below.  Also collects
+        # exactly which babies/giants the walk touches, so only their
+        # dependency closure is ever built.
         ceilings: List[int] = []
+        used_babies: set = set()
+        used_giants: set = set()
 
         def plan(sl: List, off: int) -> None:
-            deg = len(sl) - 1
             if all(c == 0 for c in sl):
                 return
-            if deg < k:
-                used = [i for i in range(1, deg + 1) if sl[i] != 0]
+            kind, j, s = classify(sl)
+            if kind == "leaf":
+                used = [i for i in range(1, len(sl)) if sl[i] != 0]
                 if used:
+                    used_babies.update(used)
                     depth = max((i - 1).bit_length() for i in used)
                     ceilings.append(ct.level - depth - off)
                 return
-            j = (deg // k).bit_length() - 1
+            if kind == "skipq":
+                plan(sl[:s], off)
+                return
+            used_giants.add(j)
+            if kind == "constq":
+                ceilings.append(ct.level - kappa - j - off)
+                plan(sl[:s], off)
+                return
             ceilings.append(ct.level - kappa - j - 1 - off)
-            s = k << j
             plan(sl[s:], off + 1)    # quotient branch, one level up
             plan(sl[:s], off)        # remainder branch (degree < s)
 
         plan(cs, 0)
+        l_min = self._poly_eval_min_level()
         l_out = min(ceilings)  # non-empty: cs[d] != 0 after the trim
-        if l_out < 1:
+        if l_out < l_min:
             raise ValueError(
-                f"degree {d} at level {ct.level} needs {1 - l_out} more "
-                f"prime level(s) (split k={k}); increase num_primes"
+                f"degree {d} at level {ct.level} needs {l_min - l_out} "
+                f"more prime level(s) (split k={k}, result must land at "
+                f"level >= {l_min}); increase num_primes"
             )
 
-        # -- power basis ----------------------------------------------------
+        # -- power basis (dependency closure of the used powers only) -------
         babies: Dict[int, Ciphertext] = {1: ct}
 
         def pw(i: int) -> Ciphertext:
@@ -1135,22 +1179,22 @@ class CKKSContext:
             babies[i] = out
             return out
 
-        for i in range(2, k):
+        for i in sorted(used_babies):
             pw(i)
         giants: List[Ciphertext] = []
-        if k <= d:
+        if used_giants:
             giants.append(self.rescale(self.square(pw(k // 2), keys)))
-            while k << len(giants) <= d:
+            while len(giants) <= max(used_giants):
                 giants.append(self.rescale(self.square(giants[-1], keys)))
 
         # -- recursion ------------------------------------------------------
         def rec(sl: List, level: int, scale: Fraction) -> Ciphertext:
-            deg = len(sl) - 1
             if all(c == 0 for c in sl):
                 return self._zero_ct(ct, level, scale)
-            if deg < k:
+            kind, j, s = classify(sl)
+            if kind == "leaf":
                 acc = None
-                for i in range(1, deg + 1):
+                for i in range(1, len(sl)):
                     if sl[i] == 0:
                         continue
                     p = self.mod_down_to(babies[i], level)
@@ -1165,17 +1209,26 @@ class CKKSContext:
                         acc, self._const_pt(sl[0], level, scale, nb)
                     )
                 return acc
-            j = (deg // k).bit_length() - 1
-            s = k << j
-            g = self.mod_down_to(giants[j], level + 1)
-            sq = scale / (g.scale * self._rescale_factor(level + 1))
-            q_ct = rec(sl[s:], level + 1, sq)
-            prod = self.rescale(self.multiply(q_ct, g, keys))
+            if kind == "skipq":
+                return rec(sl[:s], level, scale)
+            if kind == "constq":
+                g = self.mod_down_to(giants[j], level)
+                prod = self.mul_plain(
+                    g, self._const_pt(sl[s], level, scale / g.scale, nb)
+                )
+            else:
+                g = self.mod_down_to(giants[j], level + 1)
+                sq = scale / (g.scale * self._rescale_factor(level + 1))
+                q_ct = rec(sl[s:], level + 1, sq)
+                prod = self.rescale(self.multiply(q_ct, g, keys))
             if prod.level != level or prod.scale != scale:
                 raise AssertionError(
                     "poly_eval scale dictation broke: "
                     f"{prod.level}/{prod.scale} != {level}/{scale}"
                 )
-            return self.add(prod, rec(sl[:s], level, scale))
+            rest = sl[:s]
+            if all(c == 0 for c in rest):
+                return prod
+            return self.add(prod, rec(rest, level, scale))
 
         return rec(cs, l_out, S)

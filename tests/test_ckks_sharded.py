@@ -131,8 +131,11 @@ def test_poly_eval_matches(base, mctx):
     # the BSGS Paterson-Stockmeyer recursion composes only mesh-tested
     # ops (multiply/rescale/mod_down/mul_plain/add_plain/add), so the
     # sharded result must be byte-equal, dictated Fraction scale included
+    # (degree 2: the deepest shape the 3-prime fixture chain supports at
+    # the Delta^2 output convention's min level 2)
     ctx, keys, z, w, ct1, ct2 = base
-    coeffs = [0.3, -0.7, 0.2, 0.4]
+    coeffs = [0.3, -0.7, 0.2]
     want = ctx.poly_eval(ct1, coeffs, keys)
+    assert want.level == 2
     got = mctx.poly_eval(mctx.place(ct1), coeffs, keys)
     same(got, want)

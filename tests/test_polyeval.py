@@ -144,6 +144,30 @@ def test_chain_too_short_raises_before_any_work(rng):
         short.poly_eval(ct, [0.1] * 9, kk)  # degree 8 needs ~5 levels
 
 
+def test_result_level_must_hold_delta_squared(rng):
+    # a cubic on a 3-prime chain would land at level 1, where the
+    # Delta^2 output scale wraps mod Q_1 and decodes to garbage — the
+    # plan must refuse, not silently return a wrong answer
+    short = CKKSContext(N, num_primes=3, rng=np.random.default_rng(2))
+    kk = short.keygen()
+    ct = short.encrypt(short.encode(slots(rng)), kk)
+    with pytest.raises(ValueError, match="level >= 2"):
+        short.poly_eval(ct, [0.5, -1.0, 0.25, 0.75], kk)
+
+
+def test_degree4_constant_quotient(ctx, keys, rng):
+    # deg == k*2^j: the quotient is the single constant c_4, so the
+    # giant term is a PLAINTEXT multiply — no relinearization and no
+    # level consumed (result one level higher than the full-node form)
+    z = slots(rng, -0.8, 0.8)
+    ct = ctx.encrypt(ctx.encode(z), keys)
+    coeffs = [0.1, -0.4, 0.3, 0.2, -0.15]
+    out = ctx.poly_eval(ct, coeffs, keys)
+    assert out.level == ctx.L - 2  # x^2/x^3 depth only
+    np.testing.assert_allclose(dec(ctx, keys, out), ref_poly(coeffs, z),
+                               atol=2e-2)
+
+
 def test_empty_coeffs_raises(ctx, keys, rng):
     ct = ctx.encrypt(ctx.encode(slots(rng)), keys)
     with pytest.raises(ValueError, match="non-empty"):
@@ -178,3 +202,11 @@ def test_bgv_degree8_exact(bctx, bkeys, rng):
     np.testing.assert_array_equal(
         dec(bctx, bkeys, out) % bctx.t, bgv_ref(coeffs, m, bctx.t)
     )
+
+
+def test_bgv_float_coeff_raises(bctx, bkeys, rng):
+    # the exact scheme must refuse silently-truncating coefficients
+    m = rng.integers(0, bctx.t, size=(2, SLOTS))
+    ct = bctx.encrypt(bctx.encode(m), bkeys)
+    with pytest.raises(ValueError, match="integers mod t"):
+        bctx.poly_eval(ct, [0.5, 2], bkeys)
