@@ -1052,28 +1052,66 @@ class CKKSContext:
             r.sub(low.c0, low.c0), r.sub(low.c1, low.c1), level, scale
         )
 
-    def poly_eval(self, ct: Ciphertext, coeffs: Sequence,
-                  keys: KeySet) -> Ciphertext:
-        """Evaluate ``sum_i coeffs[i] * m**i`` on the slots (BSGS
-        Paterson-Stockmeyer, depth-optimal giant splitting).
+    @staticmethod
+    def _cheb_divmod(cs: List, s: int) -> Tuple[List, List]:
+        """Exact division ``p = q * T_s + r`` in the Chebyshev basis.
 
-        The workhorse for approximating non-linear functions (activation
-        polynomials, bootstrapping's EvalMod); the reference stops at the
-        forward transform this op dispatches
+        Uses ``2 T_{m-s} T_s = T_m + T_{2s-m}`` (valid for s < m < 2s,
+        the only range the giant split produces) to strip the top
+        coefficients into q; all cross-term bookkeeping happens HERE on
+        host coefficients, so the ciphertext recursion needs no
+        correction terms.  Coefficient arithmetic stays in the input
+        type (ints stay ints — BGV remains exact)."""
+        p = list(cs)
+        q = [0] * (len(p) - s)
+        for m in range(len(p) - 1, s - 1, -1):
+            c = p[m]
+            if c == 0:
+                continue
+            if m == s:
+                q[0] = q[0] + c          # T_0 * T_s = T_s
+            else:
+                q[m - s] = q[m - s] + 2 * c
+                p[2 * s - m] = p[2 * s - m] - c
+            p[m] = 0
+        return q, p[:s]
+
+    def poly_eval(self, ct: Ciphertext, coeffs: Sequence,
+                  keys: KeySet, *, basis: str = "power") -> Ciphertext:
+        """Evaluate a polynomial on the slots (BSGS Paterson-Stockmeyer,
+        depth-optimal giant splitting).
+
+        ``basis="power"``: ``sum_i coeffs[i] * m**i``.
+        ``basis="chebyshev"``: ``sum_i coeffs[i] * T_i(m)`` — the
+        numerically stable form bootstrapping's EvalMod and minimax
+        activation approximations use (inputs nominally in [-1, 1]).
+
+        The workhorse for approximating non-linear functions; the
+        reference stops at the forward transform this op dispatches
         (`/root/reference/src/kernel/ntt.cpp:86-506`).
 
-        Structure: baby powers ``m, .., m^(k-1)`` (balanced binary, depth
-        ceil(log2 k)), giant powers ``m^(k*2^j)`` by squaring, then the
-        recursion ``p = q(m) * m^(k*2^j) + r(m)`` — about ``2*sqrt(d)``
-        ciphertext multiplies at multiplicative depth ``ceil(log2 d)``.
+        Structure: baby powers (balanced binary; Chebyshev even indices
+        via ``T_2m = 2 T_m^2 - 1``, odd via ``T_i = 2 T_a T_b - T_1``),
+        giant powers by squaring/doubling, then the recursion
+        ``p = q * g + r`` — the quotient/remainder split is exact
+        host-side coefficient arithmetic in either basis
+        (:meth:`_cheb_divmod` carries the Chebyshev cross terms), so the
+        ciphertext tree is identical in shape: ~2*sqrt(d) ciphertext
+        multiplies at multiplicative depth ~ceil(log2 d).
 
         Scale discipline (the part that makes the additions exact): every
-        recursion node DICTATES its subtree's output scale as an exact
+        tree node DICTATES its subtree's output scale as an exact
         Fraction; leaves realize any dictated scale for free by choosing
         each coefficient plaintext's encode scale as
         ``dictated / power.scale``.  A giant node dictates its quotient
-        branch ``S / (g.scale * rescale_factor)`` so product and remainder
-        land at identical (level, scale) and add with no adjustment.
+        branch ``S / (g.scale * rescale_factor)`` so product and
+        remainder land at identical (level, scale) and add with no
+        adjustment.  The one place a free parameter is missing — the
+        ``- T_1`` in the odd Chebyshev recurrence subtracts two
+        independently-scaled ciphertexts — pays one plaintext ratio
+        multiply per side (ratios ~q/4: full encode precision, wrap-safe
+        headroom) before the subtraction.
+
         Returns at scale ~Delta^2 (the product convention, like
         :meth:`multiply` before :meth:`rescale`); rescale once to return
         to ~Delta.  Raises ValueError when the prime chain is too short
@@ -1081,6 +1119,9 @@ class CKKSContext:
         convention needs (the result level must satisfy Q_level >>
         Delta^2, i.e. level >= 2 for CKKS; BGV is exact at level 1).
         """
+        if basis not in ("power", "chebyshev"):
+            raise ValueError(f"unknown basis {basis!r}")
+        cheb = basis == "chebyshev"
         cs = list(coeffs)
         while len(cs) > 1 and cs[-1] == 0:
             cs.pop()
@@ -1097,79 +1138,107 @@ class CKKSContext:
                 )
             return out
 
-        # -- node classifier, shared by the plan and the recursion so the
-        # two walks cannot disagree.  Kinds: leaf (deg < k); skipq (zero
-        # quotient — the giant term vanishes, walk only the remainder);
-        # constq (degree-0 quotient — c_s * m^s is a PLAINTEXT multiply of
-        # the giant: no relinearization, no level consumed); giant (the
-        # full q(m) * m^s + r(m) node).
+        # -- node tree (host-side, exact).  Built BEFORE any ciphertext
+        # work: the same tree drives the level plan and the evaluation,
+        # so the two cannot disagree, and a too-short chain raises
+        # cleanly instead of dying at level 0 mid-squaring.  Nodes:
+        #   ("leaf", cs)            deg < k: plaintext dot with babies
+        #   ("const", j, c, r)      deg == k*2^j: c * g_j is a PLAINTEXT
+        #                           multiply (no relin, no level); r may
+        #                           be None (zero remainder)
+        #   ("mul", j, q, r)        full q * g_j + r node
         k = 1 << max(1, math.ceil(math.log2(math.sqrt(d + 1))))
         kappa = k.bit_length() - 1
 
-        def classify(sl: List) -> Tuple[str, int, int]:
+        def trim(sl: List):
+            while len(sl) > 1 and sl[-1] == 0:
+                sl.pop()
+            return None if len(sl) == 1 and sl[0] == 0 else sl
+
+        def tree(sl: List):
             deg = len(sl) - 1
             if deg < k:
-                return ("leaf", 0, 0)
+                return ("leaf", sl)
             j = (deg // k).bit_length() - 1
             s = k << j
-            if all(c == 0 for c in sl[s:]):
-                return ("skipq", j, s)
-            if deg == s:
-                return ("constq", j, s)
-            return ("giant", j, s)
+            if cheb:
+                q, r = self._cheb_divmod(sl, s)
+            else:
+                q, r = sl[s:], sl[:s]
+            q, r = trim(list(q)), trim(list(r))
+            # q's top coefficient is (2x) the node's: never None
+            if len(q) == 1:
+                return ("const", j, q[0], tree(r) if r else None)
+            return ("mul", j, tree(q), tree(r) if r else None)
 
-        # -- level plan (BEFORE building any power: a too-short chain must
-        # raise cleanly, not die at level 0 mid-squaring).  Predicted
-        # depths are exact: balanced-binary babies sit ceil(log2 i) levels
-        # below the input, giant j sits log2(k) + j below.  Also collects
-        # exactly which babies/giants the walk touches, so only their
-        # dependency closure is ever built.
+        root = tree(cs)
+
+        # -- level plan from predicted depths (exact: they mirror the
+        # builders below).  Power babies sit ceil(log2 i) below the
+        # input; Chebyshev even indices cost 1 over their half, odd
+        # indices 2 (multiply + the T_1 alignment); giants sit
+        # log2(k) + j below in both bases.
+        bd_memo: Dict[int, int] = {1: 0}
+
+        def bdepth(i: int) -> int:
+            hit = bd_memo.get(i)
+            if hit is not None:
+                return hit
+            if not cheb:
+                out = (i - 1).bit_length()
+            elif i % 2 == 0:
+                out = bdepth(i // 2) + 1
+            else:
+                out = max(bdepth((i + 1) // 2), bdepth(i // 2)) + 2
+            bd_memo[i] = out
+            return out
+
         ceilings: List[int] = []
         used_babies: set = set()
         used_giants: set = set()
 
-        def plan(sl: List, off: int) -> None:
-            if all(c == 0 for c in sl):
-                return
-            kind, j, s = classify(sl)
+        def plan(node, off: int) -> None:
+            kind = node[0]
             if kind == "leaf":
+                sl = node[1]
                 used = [i for i in range(1, len(sl)) if sl[i] != 0]
                 if used:
                     used_babies.update(used)
-                    depth = max((i - 1).bit_length() for i in used)
+                    depth = max(bdepth(i) for i in used)
                     ceilings.append(ct.level - depth - off)
                 return
-            if kind == "skipq":
-                plan(sl[:s], off)
-                return
+            j = node[1]
             used_giants.add(j)
-            if kind == "constq":
+            if kind == "const":
                 ceilings.append(ct.level - kappa - j - off)
-                plan(sl[:s], off)
+                if node[3] is not None:
+                    plan(node[3], off)
                 return
             ceilings.append(ct.level - kappa - j - 1 - off)
-            plan(sl[s:], off + 1)    # quotient branch, one level up
-            plan(sl[:s], off)        # remainder branch (degree < s)
+            plan(node[2], off + 1)   # quotient branch, one level up
+            if node[3] is not None:
+                plan(node[3], off)
 
-        plan(cs, 0)
+        plan(root, 0)
         l_min = self._poly_eval_min_level()
         l_out = min(ceilings)  # non-empty: cs[d] != 0 after the trim
         if l_out < l_min:
             raise ValueError(
                 f"degree {d} at level {ct.level} needs {l_min - l_out} "
-                f"more prime level(s) (split k={k}, result must land at "
-                f"level >= {l_min}); increase num_primes"
+                f"more prime level(s) (split k={k}, basis={basis}, "
+                f"result must land at level >= {l_min}); increase "
+                f"num_primes"
             )
 
         # -- power basis (dependency closure of the used powers only) -------
         babies: Dict[int, Ciphertext] = {1: ct}
 
-        def pw(i: int) -> Ciphertext:
+        def pw_power(i: int) -> Ciphertext:
             hit = babies.get(i)
             if hit is not None:
                 return hit
             h = i // 2
-            a, b = pw(i - h), pw(h)
+            a, b = pw_power(i - h), pw_power(h)
             lvl = min(a.level, b.level)
             a, b = self.mod_down_to(a, lvl), self.mod_down_to(b, lvl)
             out = self.rescale(
@@ -1179,20 +1248,64 @@ class CKKSContext:
             babies[i] = out
             return out
 
+        def _cheb_double(x: Ciphertext) -> Ciphertext:
+            # T_2m = 2 T_m^2 - 1: the halving constant aligns for free
+            t = self.rescale(self.square(x, keys))
+            t = self.add(t, t)
+            return self.add_plain(
+                t, self._const_pt(-1, t.level, t.scale, nb)
+            )
+
+        def pw_cheb(i: int) -> Ciphertext:
+            hit = babies.get(i)
+            if hit is not None:
+                return hit
+            if i % 2 == 0:
+                t = _cheb_double(pw_cheb(i // 2))
+            else:
+                # T_i = 2 T_a T_b - T_1 (a - b = 1): the subtraction has
+                # no free scale parameter, so both sides pass through one
+                # exact plaintext ratio (~q/4) to a common scale first
+                a, b = (i + 1) // 2, i // 2
+                xa, xb = pw_cheb(a), pw_cheb(b)
+                lvl = min(xa.level, xb.level)
+                xa = self.mod_down_to(xa, lvl)
+                xb = self.mod_down_to(xb, lvl)
+                t = self.rescale(self.multiply(xa, xb, keys))
+                t = self.add(t, t)
+                c1 = self.mod_down_to(ct, t.level)
+                hi = t.scale if t.scale > c1.scale else c1.scale
+                target = hi * Fraction(self.qs[t.level - 1], 4)
+                t = self.mul_plain(
+                    t, self._const_pt(1, t.level, target / t.scale, nb)
+                )
+                c1 = self.mul_plain(
+                    c1, self._const_pt(1, t.level, target / c1.scale, nb)
+                )
+                t = self.rescale(self.sub(t, c1))
+            babies[i] = t
+            return t
+
+        pw = pw_cheb if cheb else pw_power
         for i in sorted(used_babies):
             pw(i)
         giants: List[Ciphertext] = []
         if used_giants:
-            giants.append(self.rescale(self.square(pw(k // 2), keys)))
+            giants.append(
+                _cheb_double(pw(k // 2)) if cheb
+                else self.rescale(self.square(pw(k // 2), keys))
+            )
             while len(giants) <= max(used_giants):
-                giants.append(self.rescale(self.square(giants[-1], keys)))
+                giants.append(
+                    _cheb_double(giants[-1]) if cheb
+                    else self.rescale(self.square(giants[-1], keys))
+                )
 
-        # -- recursion ------------------------------------------------------
-        def rec(sl: List, level: int, scale: Fraction) -> Ciphertext:
-            if all(c == 0 for c in sl):
-                return self._zero_ct(ct, level, scale)
-            kind, j, s = classify(sl)
+        # -- tree evaluation with dictated (level, scale) -------------------
+        def rec(node, level: int, scale: Fraction) -> Ciphertext:
+            kind = node[0]
             if kind == "leaf":
+                sl = node[1]
                 acc = None
                 for i in range(1, len(sl)):
                     if sl[i] == 0:
@@ -1209,26 +1322,24 @@ class CKKSContext:
                         acc, self._const_pt(sl[0], level, scale, nb)
                     )
                 return acc
-            if kind == "skipq":
-                return rec(sl[:s], level, scale)
-            if kind == "constq":
+            j = node[1]
+            if kind == "const":
                 g = self.mod_down_to(giants[j], level)
                 prod = self.mul_plain(
-                    g, self._const_pt(sl[s], level, scale / g.scale, nb)
+                    g, self._const_pt(node[2], level, scale / g.scale, nb)
                 )
             else:
                 g = self.mod_down_to(giants[j], level + 1)
                 sq = scale / (g.scale * self._rescale_factor(level + 1))
-                q_ct = rec(sl[s:], level + 1, sq)
+                q_ct = rec(node[2], level + 1, sq)
                 prod = self.rescale(self.multiply(q_ct, g, keys))
             if prod.level != level or prod.scale != scale:
                 raise AssertionError(
                     "poly_eval scale dictation broke: "
                     f"{prod.level}/{prod.scale} != {level}/{scale}"
                 )
-            rest = sl[:s]
-            if all(c == 0 for c in rest):
+            if node[3] is None:
                 return prod
-            return self.add(prod, rec(rest, level, scale))
+            return self.add(prod, rec(node[3], level, scale))
 
-        return rec(cs, l_out, S)
+        return rec(root, l_out, S)

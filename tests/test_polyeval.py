@@ -210,3 +210,78 @@ def test_bgv_float_coeff_raises(bctx, bkeys, rng):
     ct = bctx.encrypt(bctx.encode(m), bkeys)
     with pytest.raises(ValueError, match="integers mod t"):
         bctx.poly_eval(ct, [0.5, 2], bkeys)
+
+
+# -- Chebyshev basis ----------------------------------------------------------
+
+
+def cheb_slots(rng, shape=(SLOTS,)):
+    # REAL values inside the Chebyshev domain [-1, 1]: outside it
+    # |T_i(z)| grows like cosh(i*arccosh|z|) and overflows the modulus
+    # (complex slots of radius sqrt(2)*0.9 sent T_12 past 500)
+    return rng.uniform(-0.95, 0.95, shape) + 0j
+
+
+def test_chebyshev_deg6(ctx, keys, rng):
+    # exercises the odd-baby path (T_3 = 2 T_2 T_1 - T_1 with the
+    # plaintext-ratio alignment) and a full giant node
+    z = cheb_slots(rng)
+    ct = ctx.encrypt(ctx.encode(z), keys)
+    coeffs = [0.2, -0.5, 0.3, 0.15, -0.1, 0.05, 0.1]
+    out = ctx.poly_eval(ct, coeffs, keys, basis="chebyshev")
+    want = np.polynomial.chebyshev.chebval(z, coeffs)
+    np.testing.assert_allclose(dec(ctx, keys, out), want, atol=5e-2)
+
+
+def test_chebyshev_deg12(ctx, keys, rng):
+    # two giants (T_4, T_8), a constant-quotient inner node, nested
+    # remainders — the EvalMod-shaped tree
+    z = cheb_slots(rng)
+    ct = ctx.encrypt(ctx.encode(z), keys)
+    coeffs = [0.1, -0.2, 0.15, 0.1, -0.08, 0.06, -0.05, 0.04,
+              -0.03, 0.02, -0.02, 0.01, 0.01]
+    out = ctx.poly_eval(ct, coeffs, keys, basis="chebyshev")
+    want = np.polynomial.chebyshev.chebval(z, coeffs)
+    np.testing.assert_allclose(dec(ctx, keys, out), want, atol=5e-2)
+
+
+def test_chebyshev_matches_power_composition(ctx, keys, rng):
+    # T-basis coefficients converted to the power basis must evaluate to
+    # the same function (small degree: the conversion is exact in floats)
+    z = cheb_slots(rng)
+    ct = ctx.encrypt(ctx.encode(z), keys)
+    tcoeffs = [0.3, -0.4, 0.25, 0.2]
+    pcoeffs = list(np.polynomial.chebyshev.cheb2poly(tcoeffs))
+    a = ctx.poly_eval(ct, tcoeffs, keys, basis="chebyshev")
+    b = ctx.poly_eval(ct, pcoeffs, keys)
+    np.testing.assert_allclose(dec(ctx, keys, a), dec(ctx, keys, b),
+                               atol=2e-2)
+
+
+def test_bad_basis_raises(ctx, keys, rng):
+    ct = ctx.encrypt(ctx.encode(slots(rng)), keys)
+    with pytest.raises(ValueError, match="basis"):
+        ctx.poly_eval(ct, [1, 2], keys, basis="legendre")
+
+
+def bgv_cheb_ref(coeffs, m, t):
+    tm1 = np.ones_like(m)          # T_0
+    tc = m % t                     # T_1
+    out = (coeffs[0] * tm1) % t
+    if len(coeffs) > 1:
+        out = (out + coeffs[1] * tc) % t
+    for c in coeffs[2:]:
+        tm1, tc = tc, (2 * m * tc - tm1) % t
+        out = (out + c * tc) % t
+    return out % t
+
+
+def test_bgv_chebyshev_exact(bctx, bkeys, rng):
+    # the Chebyshev division and the odd-baby alignment are exact mod t
+    m = rng.integers(0, bctx.t, size=(2, SLOTS))
+    ct = bctx.encrypt(bctx.encode(m), bkeys)
+    coeffs = [3, 1, 7, 2, 5, 0, 4]
+    out = bctx.poly_eval(ct, coeffs, bkeys, basis="chebyshev")
+    np.testing.assert_array_equal(
+        dec(bctx, bkeys, out) % bctx.t, bgv_cheb_ref(coeffs, m, bctx.t)
+    )
