@@ -1062,6 +1062,10 @@ class CKKSContext:
         host coefficients, so the ciphertext recursion needs no
         correction terms.  Coefficient arithmetic stays in the input
         type (ints stay ints — BGV remains exact)."""
+        assert s <= len(cs) - 1 < 2 * s, (
+            f"_cheb_divmod contract: s <= deg < 2s, got deg={len(cs) - 1} "
+            f"s={s}"
+        )
         p = list(cs)
         q = [0] * (len(p) - s)
         for m in range(len(p) - 1, s - 1, -1):
@@ -1122,11 +1126,16 @@ class CKKSContext:
         if basis not in ("power", "chebyshev"):
             raise ValueError(f"unknown basis {basis!r}")
         cheb = basis == "chebyshev"
-        cs = list(coeffs)
-        while len(cs) > 1 and cs[-1] == 0:
-            cs.pop()
+
+        def trim(sl: List):
+            """Drop trailing zeros; None for the all-zero polynomial."""
+            while len(sl) > 1 and sl[-1] == 0:
+                sl.pop()
+            return None if len(sl) == 1 and sl[0] == 0 else sl
+
+        cs = trim(list(coeffs)) or [0]
         d = len(cs) - 1
-        if d < 0:
+        if not list(coeffs):
             raise ValueError("coeffs must be non-empty")
         S = self._poly_eval_scale()
         nb = ct.c0.ndim - 2  # singleton axes for constant-pt broadcasting
@@ -1149,11 +1158,6 @@ class CKKSContext:
         #   ("mul", j, q, r)        full q * g_j + r node
         k = 1 << max(1, math.ceil(math.log2(math.sqrt(d + 1))))
         kappa = k.bit_length() - 1
-
-        def trim(sl: List):
-            while len(sl) > 1 and sl[-1] == 0:
-                sl.pop()
-            return None if len(sl) == 1 and sl[0] == 0 else sl
 
         def tree(sl: List):
             deg = len(sl) - 1
@@ -1274,7 +1278,7 @@ class CKKSContext:
                 t = self.rescale(self.multiply(xa, xb, keys))
                 t = self.add(t, t)
                 c1 = self.mod_down_to(ct, t.level)
-                hi = t.scale if t.scale > c1.scale else c1.scale
+                hi = max(t.scale, c1.scale)
                 target = hi * Fraction(self.qs[t.level - 1], 4)
                 t = self.mul_plain(
                     t, self._const_pt(1, t.level, target / t.scale, nb)

@@ -139,3 +139,24 @@ def test_poly_eval_matches(base, mctx):
     assert want.level == 2
     got = mctx.poly_eval(mctx.place(ct1), coeffs, keys)
     same(got, want)
+
+
+def test_poly_eval_chebyshev_matches(base, mctx):
+    # the Chebyshev-only op sequences — _cheb_double's add_plain
+    # alignment, the odd-baby plaintext-ratio alignment (T_3), a giant
+    # node — must also be byte-equal under mesh dispatch; needs its own
+    # 5-prime pair (degree 6 lands at level 2, the Delta^2 minimum)
+    require_devices(4)
+    ctx5 = CKKSContext(N, num_primes=5, rng=np.random.default_rng(17))
+    k5 = ctx5.keygen()
+    rng = np.random.default_rng(23)
+    z = rng.uniform(-0.95, 0.95, (B, SLOTS)) + 0j
+    ct = ctx5.encrypt(ctx5.encode(z), k5)
+    mctx5 = CKKSContext(N, num_primes=5, mesh=make_mesh(dp=4))
+    coeffs = [0.2, -0.5, 0.3, 0.15, -0.1, 0.05, 0.1]
+    want = ctx5.poly_eval(ct, coeffs, k5, basis="chebyshev")
+    got = mctx5.poly_eval(mctx5.place(ct), coeffs, k5, basis="chebyshev")
+    same(got, want)
+    dec = ctx5.decode(ctx5.decrypt(want, k5))
+    ref = np.polynomial.chebyshev.chebval(z, coeffs)
+    np.testing.assert_allclose(dec, ref, atol=5e-2)
